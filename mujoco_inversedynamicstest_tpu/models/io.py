@@ -1,0 +1,423 @@
+"""Host-side model pipeline: MJCF -> compiled ``Model`` pytree.
+
+Strategy (SURVEY.md §7 step 2): MJCF parsing and compilation are delegated to
+the reference's own battle-tested compiler via the ``mujoco`` pip package
+(reference ``src/user/user_model.cc:3938`` ``mjCModel::Compile``); this module
+converts the resulting ``mujoco.MjModel`` into our TPU-native flat-SoA
+pytree and precomputes the static tree-level metadata that drives level-wise
+vectorized kinematics/dynamics.
+
+The conversion is the single host<->framework interop point, mirroring MJX's
+``put_model`` (reference ``mjx/mujoco/mjx/_src/io.py``) but with our own
+layout: dense mass matrix, level-wise tree tables, branchless joint selects.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import (
+    Data,
+    JointType,
+    Model,
+    Option,
+    TreeLayout,
+)
+
+
+def default_dtype():
+  return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def _np(x) -> np.ndarray:
+  return np.array(x)
+
+
+def _jx(x, dtype) -> jax.Array:
+  return jnp.asarray(np.array(x), dtype=dtype)
+
+
+def build_tree_layout(
+    body_parentid: np.ndarray,
+    body_jntnum: np.ndarray,
+    dof_parentid: np.ndarray,
+) -> TreeLayout:
+  """Computes level-wise tree tables from parent-id arrays.
+
+  Bodies at equal depth are mutually independent given their parents, so each
+  level is one fully-vectorized update; levels are unrolled at trace time.
+  The dof ancestor mask encodes the mass-matrix sparsity pattern implied by
+  ``dof_parentid`` chains (reference ``src/engine/engine_core_smooth.c:1353``
+  ``mj_crb``: M[i,j] nonzero iff j is an ancestor-or-self of i).
+  """
+  nbody = len(body_parentid)
+  nv = len(dof_parentid)
+
+  depth = np.zeros(nbody, dtype=np.int32)
+  for i in range(1, nbody):
+    depth[i] = depth[body_parentid[i]] + 1
+  max_depth = int(depth.max()) if nbody > 1 else 0
+
+  body_levels = tuple(
+      np.nonzero(depth == lvl)[0].astype(np.int32)
+      for lvl in range(1, max_depth + 1)
+  )
+  level_max_jnts = tuple(
+      int(body_jntnum[lvl_bodies].max()) if len(lvl_bodies) else 0
+      for lvl_bodies in body_levels
+  )
+
+  # dof tree depth + ancestor chains
+  dof_depth = np.zeros(nv, dtype=np.int32)
+  ancestors = []
+  for i in range(nv):
+    chain = []
+    j = i
+    while j != -1:
+      chain.append(j)
+      j = dof_parentid[j]
+    dof_depth[i] = len(chain) - 1
+    ancestors.append(chain)  # [i, parent, grandparent, ... root]
+
+  max_dof_depth = int(dof_depth.max()) + 1 if nv else 0
+  dof_levels = tuple(
+      np.nonzero(dof_depth == lvl)[0].astype(np.int32)
+      for lvl in range(max_dof_depth)
+  )
+
+  ancestor_mask = np.zeros((nv, nv), dtype=bool)
+  for i, chain in enumerate(ancestors):
+    ancestor_mask[i, chain] = True
+
+  dof_ancestors = np.full((nv, max_dof_depth), -1, dtype=np.int32)
+  for i, chain in enumerate(ancestors):
+    dof_ancestors[i, : len(chain)] = chain
+
+  return TreeLayout(
+      body_levels=body_levels,
+      level_max_jnts=level_max_jnts,
+      ancestor_mask=ancestor_mask,
+      dof_levels=dof_levels,
+      dof_ancestors=dof_ancestors,
+  )
+
+
+def put_option(mj_opt, dtype) -> Option:
+  return Option(
+      timestep=jnp.asarray(mj_opt.timestep, dtype=dtype),
+      gravity=_jx(mj_opt.gravity, dtype),
+      wind=_jx(mj_opt.wind, dtype),
+      magnetic=_jx(mj_opt.magnetic, dtype),
+      density=jnp.asarray(mj_opt.density, dtype=dtype),
+      viscosity=jnp.asarray(mj_opt.viscosity, dtype=dtype),
+      impratio=jnp.asarray(mj_opt.impratio, dtype=dtype),
+      tolerance=jnp.asarray(mj_opt.tolerance, dtype=dtype),
+      ls_tolerance=jnp.asarray(mj_opt.ls_tolerance, dtype=dtype),
+      integrator=int(mj_opt.integrator),
+      cone=int(mj_opt.cone),
+      solver=int(mj_opt.solver),
+      iterations=int(mj_opt.iterations),
+      ls_iterations=int(mj_opt.ls_iterations),
+      disableflags=int(mj_opt.disableflags),
+      enableflags=int(mj_opt.enableflags),
+  )
+
+
+def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
+  """Converts a ``mujoco.MjModel`` into the TPU-native ``Model`` pytree."""
+  dtype = dtype or default_dtype()
+
+  for jt in _np(mjm.jnt_type):
+    JointType(jt)  # raises on unsupported joint types
+
+  tree = build_tree_layout(
+      _np(mjm.body_parentid), _np(mjm.body_jntnum), _np(mjm.dof_parentid)
+  )
+
+  return Model(
+      nq=int(mjm.nq),
+      nv=int(mjm.nv),
+      nu=int(mjm.nu),
+      na=int(mjm.na),
+      nbody=int(mjm.nbody),
+      njnt=int(mjm.njnt),
+      ngeom=int(mjm.ngeom),
+      nsite=int(mjm.nsite),
+      ncam=int(mjm.ncam),
+      nmocap=int(mjm.nmocap),
+      neq=int(mjm.neq),
+      ntendon=int(mjm.ntendon),
+      nwrap=int(mjm.nwrap),
+      nsensor=int(mjm.nsensor),
+      nsensordata=int(mjm.nsensordata),
+      nflexvert=int(getattr(mjm, "nflexvert", 0)),
+      opt=put_option(mjm.opt, dtype),
+      tree=tree,
+      body_pos=_jx(mjm.body_pos, dtype),
+      body_quat=_jx(mjm.body_quat, dtype),
+      body_ipos=_jx(mjm.body_ipos, dtype),
+      body_iquat=_jx(mjm.body_iquat, dtype),
+      body_mass=_jx(mjm.body_mass, dtype),
+      body_subtreemass=_jx(mjm.body_subtreemass, dtype),
+      body_inertia=_jx(mjm.body_inertia, dtype),
+      body_gravcomp=_jx(mjm.body_gravcomp, dtype),
+      body_invweight0=_jx(mjm.body_invweight0, dtype),
+      body_parentid=_np(mjm.body_parentid),
+      body_rootid=_np(mjm.body_rootid),
+      body_weldid=_np(mjm.body_weldid),
+      body_jntadr=_np(mjm.body_jntadr),
+      body_jntnum=_np(mjm.body_jntnum),
+      body_dofadr=_np(mjm.body_dofadr),
+      body_dofnum=_np(mjm.body_dofnum),
+      body_geomadr=_np(mjm.body_geomadr),
+      body_geomnum=_np(mjm.body_geomnum),
+      body_mocapid=_np(mjm.body_mocapid),
+      jnt_pos=_jx(mjm.jnt_pos, dtype),
+      jnt_axis=_jx(mjm.jnt_axis, dtype),
+      jnt_stiffness=_jx(mjm.jnt_stiffness, dtype),
+      jnt_range=_jx(mjm.jnt_range, dtype),
+      jnt_actfrcrange=_jx(mjm.jnt_actfrcrange, dtype),
+      jnt_margin=_jx(mjm.jnt_margin, dtype),
+      jnt_solref=_jx(mjm.jnt_solref, dtype),
+      jnt_solimp=_jx(mjm.jnt_solimp, dtype),
+      jnt_type=_np(mjm.jnt_type),
+      jnt_qposadr=_np(mjm.jnt_qposadr),
+      jnt_dofadr=_np(mjm.jnt_dofadr),
+      jnt_bodyid=_np(mjm.jnt_bodyid),
+      jnt_limited=_np(mjm.jnt_limited),
+      jnt_actfrclimited=_np(mjm.jnt_actfrclimited),
+      dof_armature=_jx(mjm.dof_armature, dtype),
+      dof_damping=_jx(mjm.dof_damping, dtype),
+      dof_invweight0=_jx(mjm.dof_invweight0, dtype),
+      dof_frictionloss=_jx(mjm.dof_frictionloss, dtype),
+      dof_solref=_jx(mjm.dof_solref, dtype),
+      dof_solimp=_jx(mjm.dof_solimp, dtype),
+      dof_M0=_jx(mjm.dof_M0, dtype),
+      dof_bodyid=_np(mjm.dof_bodyid),
+      dof_jntid=_np(mjm.dof_jntid),
+      dof_parentid=_np(mjm.dof_parentid),
+      geom_pos=_jx(mjm.geom_pos, dtype),
+      geom_quat=_jx(mjm.geom_quat, dtype),
+      geom_size=_jx(mjm.geom_size, dtype),
+      geom_friction=_jx(mjm.geom_friction, dtype),
+      geom_margin=_jx(mjm.geom_margin, dtype),
+      geom_gap=_jx(mjm.geom_gap, dtype),
+      geom_solref=_jx(mjm.geom_solref, dtype),
+      geom_solimp=_jx(mjm.geom_solimp, dtype),
+      geom_solmix=_jx(mjm.geom_solmix, dtype),
+      geom_rbound=_jx(mjm.geom_rbound, dtype),
+      geom_type=_np(mjm.geom_type),
+      geom_bodyid=_np(mjm.geom_bodyid),
+      geom_contype=_np(mjm.geom_contype),
+      geom_conaffinity=_np(mjm.geom_conaffinity),
+      geom_condim=_np(mjm.geom_condim),
+      geom_priority=_np(mjm.geom_priority),
+      site_pos=_jx(mjm.site_pos, dtype),
+      site_quat=_jx(mjm.site_quat, dtype),
+      site_bodyid=_np(mjm.site_bodyid),
+      actuator_gear=_jx(mjm.actuator_gear, dtype),
+      actuator_ctrlrange=_jx(mjm.actuator_ctrlrange, dtype),
+      actuator_forcerange=_jx(mjm.actuator_forcerange, dtype),
+      actuator_actrange=_jx(mjm.actuator_actrange, dtype),
+      actuator_gainprm=_jx(mjm.actuator_gainprm, dtype),
+      actuator_biasprm=_jx(mjm.actuator_biasprm, dtype),
+      actuator_dynprm=_jx(mjm.actuator_dynprm, dtype),
+      actuator_length0=_jx(mjm.actuator_length0, dtype),
+      actuator_lengthrange=_jx(mjm.actuator_lengthrange, dtype),
+      actuator_acc0=_jx(mjm.actuator_acc0, dtype),
+      actuator_trntype=_np(mjm.actuator_trntype),
+      actuator_dyntype=_np(mjm.actuator_dyntype),
+      actuator_gaintype=_np(mjm.actuator_gaintype),
+      actuator_biastype=_np(mjm.actuator_biastype),
+      actuator_trnid=_np(mjm.actuator_trnid),
+      actuator_actadr=_np(mjm.actuator_actadr),
+      actuator_actnum=_np(mjm.actuator_actnum),
+      actuator_ctrllimited=_np(mjm.actuator_ctrllimited),
+      actuator_forcelimited=_np(mjm.actuator_forcelimited),
+      actuator_actlimited=_np(mjm.actuator_actlimited),
+      actuator_actearly=_np(mjm.actuator_actearly),
+      eq_data=_jx(mjm.eq_data, dtype),
+      eq_solref=_jx(mjm.eq_solref, dtype),
+      eq_solimp=_jx(mjm.eq_solimp, dtype),
+      eq_type=_np(mjm.eq_type),
+      eq_obj1id=_np(mjm.eq_obj1id),
+      eq_obj2id=_np(mjm.eq_obj2id),
+      eq_objtype=_np(mjm.eq_objtype),
+      eq_active0=_np(mjm.eq_active0),
+      tendon_stiffness=_jx(mjm.tendon_stiffness, dtype),
+      tendon_damping=_jx(mjm.tendon_damping, dtype),
+      tendon_frictionloss=_jx(mjm.tendon_frictionloss, dtype),
+      tendon_lengthspring=_jx(mjm.tendon_lengthspring, dtype),
+      tendon_length0=_jx(mjm.tendon_length0, dtype),
+      tendon_invweight0=_jx(mjm.tendon_invweight0, dtype),
+      tendon_range=_jx(mjm.tendon_range, dtype),
+      tendon_margin=_jx(mjm.tendon_margin, dtype),
+      tendon_solref_lim=_jx(mjm.tendon_solref_lim, dtype),
+      tendon_solimp_lim=_jx(mjm.tendon_solimp_lim, dtype),
+      wrap_prm=_jx(mjm.wrap_prm, dtype),
+      tendon_adr=_np(mjm.tendon_adr),
+      tendon_num=_np(mjm.tendon_num),
+      tendon_limited=_np(mjm.tendon_limited),
+      wrap_type=_np(mjm.wrap_type),
+      wrap_objid=_np(mjm.wrap_objid),
+      sensor_cutoff=_jx(mjm.sensor_cutoff, dtype),
+      sensor_type=_np(mjm.sensor_type),
+      sensor_datatype=_np(mjm.sensor_datatype),
+      sensor_objtype=_np(mjm.sensor_objtype),
+      sensor_objid=_np(mjm.sensor_objid),
+      sensor_reftype=_np(mjm.sensor_reftype),
+      sensor_refid=_np(mjm.sensor_refid),
+      sensor_adr=_np(mjm.sensor_adr),
+      sensor_dim=_np(mjm.sensor_dim),
+      sensor_needstage=_np(mjm.sensor_needstage),
+      qpos0=_jx(mjm.qpos0, dtype),
+      qpos_spring=_jx(mjm.qpos_spring, dtype),
+      pair_dim=_np(mjm.pair_dim),
+      pair_geom1=_np(mjm.pair_geom1),
+      pair_geom2=_np(mjm.pair_geom2),
+      pair_solref=_jx(mjm.pair_solref, dtype),
+      pair_solreffriction=_jx(mjm.pair_solreffriction, dtype),
+      pair_solimp=_jx(mjm.pair_solimp, dtype),
+      pair_margin=_jx(mjm.pair_margin, dtype),
+      pair_gap=_jx(mjm.pair_gap, dtype),
+      pair_friction=_jx(mjm.pair_friction, dtype),
+      exclude_signature=_np(mjm.exclude_signature),
+      _source=mjm if _keep_source else None,
+  )
+
+
+def load_model(path_or_xml: str, dtype=None) -> Model:
+  """Loads an MJCF file or XML string directly into a ``Model``."""
+  import mujoco  # deferred: host-only dependency
+
+  if path_or_xml.lstrip().startswith("<"):
+    mjm = mujoco.MjModel.from_xml_string(path_or_xml)
+  else:
+    mjm = mujoco.MjModel.from_xml_path(path_or_xml)
+  return put_model(mjm, dtype=dtype)
+
+
+def make_data(m: Model, dtype=None) -> Data:
+  """Allocates a fresh ``Data`` pytree in the reset state.
+
+  Analog of ``mj_makeData`` + ``mj_resetData`` (reference
+  ``src/engine/engine_io.c:1403``): qpos = qpos0, everything else zero,
+  with static shapes derived from the model.
+  """
+  dtype = dtype or m.dtype
+  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+
+  nbody, nv, nq = m.nbody, m.nv, m.nq
+  identity_quat = jnp.tile(
+      jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype), (nbody, 1)
+  )
+
+  return Data(
+      time=jnp.asarray(0.0, dtype=dtype),
+      qpos=jnp.asarray(m.qpos0, dtype=dtype),
+      qvel=z(nv),
+      act=z(m.na),
+      ctrl=z(m.nu),
+      qfrc_applied=z(nv),
+      xfrc_applied=z(nbody, 6),
+      eq_active=jnp.asarray(m.eq_active0.astype(bool))
+      if m.neq else jnp.zeros((0,), dtype=bool),
+      mocap_pos=z(m.nmocap, 3),
+      mocap_quat=jnp.tile(
+          jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype), (m.nmocap, 1)
+      ),
+      qacc_warmstart=z(nv),
+      xpos=z(nbody, 3),
+      xquat=identity_quat,
+      xmat=jnp.tile(jnp.eye(3, dtype=dtype), (nbody, 1, 1)),
+      xipos=z(nbody, 3),
+      ximat=jnp.tile(jnp.eye(3, dtype=dtype), (nbody, 1, 1)),
+      xanchor=z(m.njnt, 3),
+      xaxis=z(m.njnt, 3),
+      geom_xpos=z(m.ngeom, 3),
+      geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ngeom, 1, 1)),
+      site_xpos=z(m.nsite, 3),
+      site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nsite, 1, 1)),
+      subtree_com=z(nbody, 3),
+      cinert=z(nbody, 10),
+      cdof=z(nv, 6),
+      crb=z(nbody, 10),
+      qM=z(nv, nv),
+      qLD=z(nv, nv),
+      ten_length=z(m.ntendon),
+      ten_J=z(m.ntendon, nv),
+      actuator_length=z(m.nu),
+      actuator_moment=z(m.nu, nv),
+      cvel=z(nbody, 6),
+      cdof_dot=z(nv, 6),
+      ten_velocity=z(m.ntendon),
+      actuator_velocity=z(m.nu),
+      qfrc_bias=z(nv),
+      qfrc_spring=z(nv),
+      qfrc_damper=z(nv),
+      qfrc_gravcomp=z(nv),
+      qfrc_fluid=z(nv),
+      qfrc_passive=z(nv),
+      act_dot=z(m.na),
+      actuator_force=z(m.nu),
+      qfrc_actuator=z(nv),
+      qfrc_smooth=z(nv),
+      qacc_smooth=z(nv),
+      qfrc_constraint=z(nv),
+      qacc=z(nv),
+      qfrc_inverse=z(nv),
+      contact=None,
+      ne=0,
+      nf=0,
+      nl=0,
+      nefc=0,
+      efc_J=z(0, nv),
+      efc_pos=z(0),
+      efc_margin=z(0),
+      efc_frictionloss=z(0),
+      efc_D=z(0),
+      efc_R=z(0),
+      efc_aref=z(0),
+      efc_force=z(0),
+      efc_active=jnp.zeros((0,), dtype=bool),
+      cacc=z(nbody, 6),
+      cfrc_int=z(nbody, 6),
+      cfrc_ext=z(nbody, 6),
+      sensordata=z(m.nsensordata),
+      energy=z(2),
+      solver_fwdinv=z(2),
+      solver_niter=jnp.asarray(0, dtype=jnp.int32),
+  )
+
+
+def put_data(m: Model, mjd, dtype=None) -> Data:
+  """Copies the *input* state of a ``mujoco.MjData`` into a fresh ``Data``.
+
+  Only the integration state (qpos, qvel, act, ctrl, applied forces, mocap,
+  warmstart, time) is transferred — derived quantities are recomputed by
+  ``forward``/``inverse`` on device.  Analog of the ``mjSTATE_INTEGRATION``
+  state vector (reference ``src/engine/engine_support.c:176`` ``mj_getState``).
+  """
+  dtype = dtype or m.dtype
+  d = make_data(m, dtype=dtype)
+  j = lambda x: jnp.asarray(np.array(x), dtype=dtype)
+  updates = dict(
+      time=jnp.asarray(mjd.time, dtype=dtype),
+      qpos=j(mjd.qpos),
+      qvel=j(mjd.qvel),
+      act=j(mjd.act),
+      ctrl=j(mjd.ctrl),
+      qacc=j(mjd.qacc),
+      qfrc_applied=j(mjd.qfrc_applied),
+      xfrc_applied=j(mjd.xfrc_applied),
+      qacc_warmstart=j(mjd.qacc_warmstart),
+  )
+  if m.nmocap:
+    updates.update(mocap_pos=j(mjd.mocap_pos), mocap_quat=j(mjd.mocap_quat))
+  if m.neq:
+    updates.update(eq_active=jnp.asarray(np.array(mjd.eq_active), dtype=bool))
+  return d.replace(**updates)

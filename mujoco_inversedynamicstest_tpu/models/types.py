@@ -1,0 +1,576 @@
+"""Model / Data pytree types for the TPU-native physics engine.
+
+Design (TPU-first, not a port):
+
+* ``Model`` is an immutable flat-SoA pytree compiled once on the host.  Float
+  parameter arrays are pytree leaves (they may be batched/differentiated);
+  integer layout tables (parent ids, joint types, address tables) are static
+  aux-data so trace-time specialization can unroll tree levels and build
+  branchless joint-type selects.  This mirrors the split between the
+  reference's read-only ``mjModel`` (reference ``include/mujoco/mjmodel.h:592``)
+  and its compile-time sparsity layout (``dof_Madr``/``dof_parentid``).
+
+* ``Data`` is an immutable pytree holding the full per-step state + workspace,
+  the analog of ``mjData`` (reference ``include/mujoco/mjdata.h``), with
+  static shapes everywhere so a whole step is one XLA computation and
+  batching is plain ``vmap``.
+
+* The mass matrix ``qM`` is stored dense ``(nv, nv)``: on TPU the MXU wants
+  dense tiles, and CRB assembly becomes one ``(nv,6)x(6,nv)`` matmul.  The
+  sparse-LTDL representation used by the reference (``mj_factorM``, reference
+  ``src/engine/engine_core_smooth.c:1470``) is reintroduced as an optimized
+  kernel on top of this layout, not as the core data model.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.utils.pytree import pytree, static_field
+
+
+class JointType(enum.IntEnum):
+  """mjtJoint (reference include/mujoco/mjmodel.h)."""
+  FREE = 0
+  BALL = 1
+  SLIDE = 2
+  HINGE = 3
+
+  def dof_width(self) -> int:
+    return {0: 6, 1: 3, 2: 1, 3: 1}[self.value]
+
+  def qpos_width(self) -> int:
+    return {0: 7, 1: 4, 2: 1, 3: 1}[self.value]
+
+
+class IntegratorType(enum.IntEnum):
+  """mjtIntegrator."""
+  EULER = 0
+  RK4 = 1
+  IMPLICIT = 2
+  IMPLICITFAST = 3
+
+
+class ConeType(enum.IntEnum):
+  """mjtCone."""
+  PYRAMIDAL = 0
+  ELLIPTIC = 1
+
+
+class SolverType(enum.IntEnum):
+  """mjtSolver."""
+  PGS = 0
+  CG = 1
+  NEWTON = 2
+
+
+class GeomType(enum.IntEnum):
+  """mjtGeom (collidable subset)."""
+  PLANE = 0
+  HFIELD = 1
+  SPHERE = 2
+  CAPSULE = 3
+  ELLIPSOID = 4
+  CYLINDER = 5
+  BOX = 6
+  MESH = 7
+  SDF = 8
+
+
+class TrnType(enum.IntEnum):
+  """mjtTrn (actuator transmission)."""
+  JOINT = 0
+  JOINTINPARENT = 1
+  SLIDERCRANK = 2
+  TENDON = 3
+  SITE = 4
+  BODY = 5
+
+
+class DynType(enum.IntEnum):
+  """mjtDyn (activation dynamics)."""
+  NONE = 0
+  INTEGRATOR = 1
+  FILTER = 2
+  FILTEREXACT = 3
+  MUSCLE = 4
+  DCMOTOR = 5
+
+
+class GainType(enum.IntEnum):
+  """mjtGain."""
+  FIXED = 0
+  AFFINE = 1
+  MUSCLE = 2
+  DCMOTOR = 3
+
+
+class BiasType(enum.IntEnum):
+  """mjtBias."""
+  NONE = 0
+  AFFINE = 1
+  MUSCLE = 2
+  DCMOTOR = 3
+
+
+class EqType(enum.IntEnum):
+  """mjtEq."""
+  CONNECT = 0
+  WELD = 1
+  JOINT = 2
+  TENDON = 3
+  DISTANCE = 7
+
+
+class WrapType(enum.IntEnum):
+  """mjtWrap (tendon wrap objects)."""
+  NONE = 0
+  JOINT = 1
+  PULLEY = 2
+  SITE = 3
+  SPHERE = 4
+  CYLINDER = 5
+
+
+class SensorType(enum.IntEnum):
+  """mjtSensor (supported subset; values match mujoco)."""
+  TOUCH = 0
+  ACCELEROMETER = 1
+  VELOCIMETER = 2
+  GYRO = 3
+  FORCE = 4
+  TORQUE = 5
+  MAGNETOMETER = 6
+  RANGEFINDER = 7
+  JOINTPOS = 9
+  JOINTVEL = 10
+  TENDONPOS = 11
+  TENDONVEL = 12
+  ACTUATORPOS = 13
+  ACTUATORVEL = 14
+  ACTUATORFRC = 15
+  JOINTACTFRC = 16
+  BALLQUAT = 18
+  BALLANGVEL = 19
+  JOINTLIMITPOS = 20
+  JOINTLIMITVEL = 21
+  JOINTLIMITFRC = 22
+  TENDONLIMITPOS = 23
+  TENDONLIMITVEL = 24
+  TENDONLIMITFRC = 25
+  FRAMEPOS = 26
+  FRAMEQUAT = 27
+  FRAMEXAXIS = 28
+  FRAMEYAXIS = 29
+  FRAMEZAXIS = 30
+  FRAMELINVEL = 31
+  FRAMEANGVEL = 32
+  FRAMELINACC = 33
+  FRAMEANGACC = 34
+  SUBTREECOM = 35
+  SUBTREELINVEL = 36
+  SUBTREEANGMOM = 37
+  E_POTENTIAL = 43
+  E_KINETIC = 44
+  CLOCK = 45
+
+
+class ObjType(enum.IntEnum):
+  """mjtObj (subset used by sensors/equality)."""
+  UNKNOWN = 0
+  BODY = 1
+  XBODY = 2
+  JOINT = 3
+  GEOM = 5
+  SITE = 6
+  CAMERA = 7
+
+
+class DisableBit(enum.IntFlag):
+  """mjtDisableBit (installed-mujoco layout)."""
+  CONSTRAINT = 1 << 0
+  EQUALITY = 1 << 1
+  FRICTIONLOSS = 1 << 2
+  LIMIT = 1 << 3
+  CONTACT = 1 << 4
+  SPRING = 1 << 5
+  DAMPER = 1 << 6
+  GRAVITY = 1 << 7
+  CLAMPCTRL = 1 << 8
+  WARMSTART = 1 << 9
+  FILTERPARENT = 1 << 10
+  ACTUATION = 1 << 11
+  REFSAFE = 1 << 12
+  SENSOR = 1 << 13
+  MIDPHASE = 1 << 14
+  EULERDAMP = 1 << 15
+  AUTORESET = 1 << 16
+  NATIVECCD = 1 << 17
+  ISLAND = 1 << 18
+
+
+class EnableBit(enum.IntFlag):
+  """mjtEnableBit."""
+  OVERRIDE = 1 << 0
+  ENERGY = 1 << 1
+  FWDINV = 1 << 2
+  INVDISCRETE = 1 << 3
+
+
+@pytree
+class Option:
+  """Physics options: the analog of ``mjOption``.
+
+  (reference ``include/mujoco/mjmodel.h:434-475``)  Scalar physical
+  parameters are leaves (differentiable / overridable per batch element);
+  discrete algorithm choices are static so jit specializes on them.
+  """
+  # --- leaves (jax scalars/arrays) ---
+  timestep: jax.Array
+  gravity: jax.Array          # (3,)
+  wind: jax.Array             # (3,)
+  magnetic: jax.Array         # (3,)
+  density: jax.Array
+  viscosity: jax.Array
+  impratio: jax.Array
+  tolerance: jax.Array
+  ls_tolerance: jax.Array
+  # --- static ---
+  integrator: int = static_field(default=IntegratorType.EULER)
+  cone: int = static_field(default=ConeType.PYRAMIDAL)
+  solver: int = static_field(default=SolverType.NEWTON)
+  iterations: int = static_field(default=100)
+  ls_iterations: int = static_field(default=50)
+  disableflags: int = static_field(default=0)
+  enableflags: int = static_field(default=0)
+
+
+@pytree
+class TreeLayout:
+  """Static kinematic-tree metadata precomputed at model build time.
+
+  This replaces both the reference's runtime tree loops (reference
+  ``src/engine/engine_core_smooth.c``) and MJX's type-signature scan
+  machinery with *level-wise masked vectorization*: bodies at the same tree
+  depth are processed together with gathers from parents; joint types are
+  handled branchlessly with masked selects.  Everything here is host-side
+  numpy and fixed at trace time.
+  """
+  # bodies grouped by depth, excluding the world body; tuple of int arrays.
+  body_levels: Tuple[np.ndarray, ...] = static_field(default=())
+  # per-level max number of joints on any body in the level.
+  level_max_jnts: Tuple[int, ...] = static_field(default=())
+  # dense (nv, nv) bool: entry [i, j] true iff dof j is dof i's
+  # ancestor-or-self (the sparsity pattern of M; cf. dof_parentid chains,
+  # reference src/engine/engine_core_smooth.c:1353 mj_crb).
+  ancestor_mask: np.ndarray = static_field(default=None)
+  # dofs grouped by depth in the dof tree (for level-wise LTDL factorization,
+  # cf. reference mj_factorI, src/engine/engine_core_smooth.c:1483).
+  dof_levels: Tuple[np.ndarray, ...] = static_field(default=())
+  # per-dof ancestor dof lists padded to max depth, -1 padded, (nv, maxd).
+  dof_ancestors: np.ndarray = static_field(default=None)
+
+
+@pytree
+class Model:
+  """Compiled model: immutable flat-SoA pytree (analog of ``mjModel``)."""
+
+  # ------- sizes (static) -------
+  nq: int = static_field(default=0)
+  nv: int = static_field(default=0)
+  nu: int = static_field(default=0)
+  na: int = static_field(default=0)
+  nbody: int = static_field(default=0)
+  njnt: int = static_field(default=0)
+  ngeom: int = static_field(default=0)
+  nsite: int = static_field(default=0)
+  ncam: int = static_field(default=0)
+  nmocap: int = static_field(default=0)
+  neq: int = static_field(default=0)
+  ntendon: int = static_field(default=0)
+  nwrap: int = static_field(default=0)
+  nsensor: int = static_field(default=0)
+  nsensordata: int = static_field(default=0)
+  nflexvert: int = static_field(default=0)
+
+  # ------- options / tree layout (nested pytrees) -------
+  opt: Option = None
+  tree: TreeLayout = None
+
+  # ------- body (leaves float, statics int) -------
+  body_pos: jax.Array = None          # (nbody, 3)
+  body_quat: jax.Array = None         # (nbody, 4)
+  body_ipos: jax.Array = None         # (nbody, 3)
+  body_iquat: jax.Array = None        # (nbody, 4)
+  body_mass: jax.Array = None         # (nbody,)
+  body_subtreemass: jax.Array = None  # (nbody,)
+  body_inertia: jax.Array = None      # (nbody, 3)
+  body_gravcomp: jax.Array = None     # (nbody,)
+  body_invweight0: jax.Array = None   # (nbody, 2)
+  body_parentid: np.ndarray = static_field(default=None)
+  body_rootid: np.ndarray = static_field(default=None)
+  body_weldid: np.ndarray = static_field(default=None)
+  body_jntadr: np.ndarray = static_field(default=None)
+  body_jntnum: np.ndarray = static_field(default=None)
+  body_dofadr: np.ndarray = static_field(default=None)
+  body_dofnum: np.ndarray = static_field(default=None)
+  body_geomadr: np.ndarray = static_field(default=None)
+  body_geomnum: np.ndarray = static_field(default=None)
+  body_mocapid: np.ndarray = static_field(default=None)
+
+  # ------- joints -------
+  jnt_pos: jax.Array = None           # (njnt, 3)
+  jnt_axis: jax.Array = None          # (njnt, 3)
+  jnt_stiffness: jax.Array = None     # (njnt,)
+  jnt_range: jax.Array = None         # (njnt, 2)
+  jnt_actfrcrange: jax.Array = None   # (njnt, 2)
+  jnt_margin: jax.Array = None        # (njnt,)
+  jnt_solref: jax.Array = None        # (njnt, 2)
+  jnt_solimp: jax.Array = None        # (njnt, 5)
+  jnt_type: np.ndarray = static_field(default=None)
+  jnt_qposadr: np.ndarray = static_field(default=None)
+  jnt_dofadr: np.ndarray = static_field(default=None)
+  jnt_bodyid: np.ndarray = static_field(default=None)
+  jnt_limited: np.ndarray = static_field(default=None)
+  jnt_actfrclimited: np.ndarray = static_field(default=None)
+
+  # ------- dofs -------
+  dof_armature: jax.Array = None      # (nv,)
+  dof_damping: jax.Array = None       # (nv,)
+  dof_invweight0: jax.Array = None    # (nv,)
+  dof_frictionloss: jax.Array = None  # (nv,)
+  dof_solref: jax.Array = None        # (nv, 2)
+  dof_solimp: jax.Array = None        # (nv, 5)
+  dof_M0: jax.Array = None            # (nv,)
+  dof_bodyid: np.ndarray = static_field(default=None)
+  dof_jntid: np.ndarray = static_field(default=None)
+  dof_parentid: np.ndarray = static_field(default=None)
+
+  # ------- geoms -------
+  geom_pos: jax.Array = None          # (ngeom, 3)
+  geom_quat: jax.Array = None         # (ngeom, 4)
+  geom_size: jax.Array = None         # (ngeom, 3)
+  geom_friction: jax.Array = None     # (ngeom, 3)
+  geom_margin: jax.Array = None       # (ngeom,)
+  geom_gap: jax.Array = None          # (ngeom,)
+  geom_solref: jax.Array = None       # (ngeom, 2)
+  geom_solimp: jax.Array = None       # (ngeom, 5)
+  geom_solmix: jax.Array = None       # (ngeom,)
+  geom_rbound: jax.Array = None       # (ngeom,)
+  geom_type: np.ndarray = static_field(default=None)
+  geom_bodyid: np.ndarray = static_field(default=None)
+  geom_contype: np.ndarray = static_field(default=None)
+  geom_conaffinity: np.ndarray = static_field(default=None)
+  geom_condim: np.ndarray = static_field(default=None)
+  geom_priority: np.ndarray = static_field(default=None)
+
+  # ------- sites -------
+  site_pos: jax.Array = None          # (nsite, 3)
+  site_quat: jax.Array = None         # (nsite, 4)
+  site_bodyid: np.ndarray = static_field(default=None)
+
+  # ------- actuators -------
+  actuator_gear: jax.Array = None        # (nu, 6)
+  actuator_ctrlrange: jax.Array = None   # (nu, 2)
+  actuator_forcerange: jax.Array = None  # (nu, 2)
+  actuator_actrange: jax.Array = None    # (nu, 2)
+  actuator_gainprm: jax.Array = None     # (nu, 10)
+  actuator_biasprm: jax.Array = None     # (nu, 10)
+  actuator_dynprm: jax.Array = None      # (nu, 10)
+  actuator_length0: jax.Array = None     # (nu,)
+  actuator_lengthrange: jax.Array = None  # (nu, 2)
+  actuator_acc0: jax.Array = None        # (nu,)
+  actuator_trntype: np.ndarray = static_field(default=None)
+  actuator_dyntype: np.ndarray = static_field(default=None)
+  actuator_gaintype: np.ndarray = static_field(default=None)
+  actuator_biastype: np.ndarray = static_field(default=None)
+  actuator_trnid: np.ndarray = static_field(default=None)
+  actuator_actadr: np.ndarray = static_field(default=None)
+  actuator_actnum: np.ndarray = static_field(default=None)
+  actuator_ctrllimited: np.ndarray = static_field(default=None)
+  actuator_forcelimited: np.ndarray = static_field(default=None)
+  actuator_actlimited: np.ndarray = static_field(default=None)
+  actuator_actearly: np.ndarray = static_field(default=None)
+
+  # ------- equality constraints -------
+  eq_data: jax.Array = None           # (neq, 11)
+  eq_solref: jax.Array = None         # (neq, 2)
+  eq_solimp: jax.Array = None         # (neq, 5)
+  eq_type: np.ndarray = static_field(default=None)
+  eq_obj1id: np.ndarray = static_field(default=None)
+  eq_obj2id: np.ndarray = static_field(default=None)
+  eq_objtype: np.ndarray = static_field(default=None)
+  eq_active0: np.ndarray = static_field(default=None)
+
+  # ------- tendons -------
+  tendon_stiffness: jax.Array = None     # (ntendon,)
+  tendon_damping: jax.Array = None       # (ntendon,)
+  tendon_frictionloss: jax.Array = None  # (ntendon,)
+  tendon_lengthspring: jax.Array = None  # (ntendon, 2)
+  tendon_length0: jax.Array = None       # (ntendon,)
+  tendon_invweight0: jax.Array = None    # (ntendon,)
+  tendon_range: jax.Array = None         # (ntendon, 2)
+  tendon_margin: jax.Array = None        # (ntendon,)
+  tendon_solref_lim: jax.Array = None    # (ntendon, 2)
+  tendon_solimp_lim: jax.Array = None    # (ntendon, 5)
+  wrap_prm: jax.Array = None             # (nwrap,)
+  tendon_adr: np.ndarray = static_field(default=None)
+  tendon_num: np.ndarray = static_field(default=None)
+  tendon_limited: np.ndarray = static_field(default=None)
+  wrap_type: np.ndarray = static_field(default=None)
+  wrap_objid: np.ndarray = static_field(default=None)
+
+  # ------- sensors -------
+  sensor_cutoff: jax.Array = None     # (nsensor,)
+  sensor_type: np.ndarray = static_field(default=None)
+  sensor_datatype: np.ndarray = static_field(default=None)
+  sensor_objtype: np.ndarray = static_field(default=None)
+  sensor_objid: np.ndarray = static_field(default=None)
+  sensor_reftype: np.ndarray = static_field(default=None)
+  sensor_refid: np.ndarray = static_field(default=None)
+  sensor_adr: np.ndarray = static_field(default=None)
+  sensor_dim: np.ndarray = static_field(default=None)
+  sensor_needstage: np.ndarray = static_field(default=None)
+
+  # ------- keyframes / reference pose -------
+  qpos0: jax.Array = None             # (nq,)
+  qpos_spring: jax.Array = None       # (nq,)
+
+  # ------- collision/static-shape budgeting (static) -------
+  # explicit geom pair list from <pair> elements
+  pair_dim: np.ndarray = static_field(default=None)
+  pair_geom1: np.ndarray = static_field(default=None)
+  pair_geom2: np.ndarray = static_field(default=None)
+  pair_solref: jax.Array = None
+  pair_solreffriction: jax.Array = None
+  pair_solimp: jax.Array = None
+  pair_margin: jax.Array = None
+  pair_gap: jax.Array = None
+  pair_friction: jax.Array = None
+  exclude_signature: np.ndarray = static_field(default=None)
+
+  # host-only handle to the source mujoco.MjModel (not traced, not hashed
+  # into jit keys beyond identity) for interop/testing.
+  _source: Any = static_field(default=None, repr=False)
+
+  @property
+  def dtype(self):
+    return self.qpos0.dtype
+
+
+@pytree
+class Contact:
+  """Static-shape contact set (analog of ``mjContact``).
+
+  All arrays are padded to a trace-time capacity ``ncon``; invalid rows have
+  ``dist > 0`` beyond margin and ``efc_address < 0`` semantics are replaced
+  by an explicit boolean mask (TPU-first: masks, not dynamic counts).
+  """
+  dist: jax.Array = None       # (ncon,)
+  pos: jax.Array = None        # (ncon, 3)
+  frame: jax.Array = None      # (ncon, 3, 3) rows = [normal, tan1, tan2]
+  includemargin: jax.Array = None  # (ncon,)
+  friction: jax.Array = None   # (ncon, 5)
+  solref: jax.Array = None     # (ncon, 2)
+  solreffriction: jax.Array = None  # (ncon, 2)
+  solimp: jax.Array = None     # (ncon, 5)
+  geom1: jax.Array = None      # (ncon,) int
+  geom2: jax.Array = None      # (ncon,) int
+  efc_address: np.ndarray = static_field(default=None)  # (ncon,) int
+  dim: np.ndarray = static_field(default=None)          # (ncon,) int
+
+
+@pytree
+class Data:
+  """Per-step simulation state + workspace (analog of ``mjData``)."""
+
+  # ------- inputs / integration state -------
+  time: jax.Array = None
+  qpos: jax.Array = None          # (nq,)
+  qvel: jax.Array = None          # (nv,)
+  act: jax.Array = None           # (na,)
+  ctrl: jax.Array = None          # (nu,)
+  qfrc_applied: jax.Array = None  # (nv,)
+  xfrc_applied: jax.Array = None  # (nbody, 6)
+  eq_active: jax.Array = None     # (neq,) bool
+  mocap_pos: jax.Array = None     # (nmocap, 3)
+  mocap_quat: jax.Array = None    # (nmocap, 4)
+  qacc_warmstart: jax.Array = None  # (nv,)
+
+  # ------- position stage outputs -------
+  xpos: jax.Array = None          # (nbody, 3)
+  xquat: jax.Array = None         # (nbody, 4)
+  xmat: jax.Array = None          # (nbody, 3, 3)
+  xipos: jax.Array = None         # (nbody, 3)
+  ximat: jax.Array = None         # (nbody, 3, 3)
+  xanchor: jax.Array = None       # (njnt, 3)
+  xaxis: jax.Array = None         # (njnt, 3)
+  geom_xpos: jax.Array = None     # (ngeom, 3)
+  geom_xmat: jax.Array = None     # (ngeom, 3, 3)
+  site_xpos: jax.Array = None     # (nsite, 3)
+  site_xmat: jax.Array = None     # (nsite, 3, 3)
+  subtree_com: jax.Array = None   # (nbody, 3)
+  cinert: jax.Array = None        # (nbody, 10)
+  cdof: jax.Array = None          # (nv, 6)
+  crb: jax.Array = None           # (nbody, 10)
+  qM: jax.Array = None            # (nv, nv) dense
+  qLD: jax.Array = None           # (nv, nv) dense Cholesky factor
+  ten_length: jax.Array = None    # (ntendon,)
+  ten_J: jax.Array = None         # (ntendon, nv)
+  actuator_length: jax.Array = None   # (nu,)
+  actuator_moment: jax.Array = None   # (nu, nv)
+
+  # ------- velocity stage -------
+  cvel: jax.Array = None          # (nbody, 6)
+  cdof_dot: jax.Array = None      # (nv, 6)
+  ten_velocity: jax.Array = None  # (ntendon,)
+  actuator_velocity: jax.Array = None  # (nu,)
+  qfrc_bias: jax.Array = None     # (nv,)
+  qfrc_spring: jax.Array = None   # (nv,)
+  qfrc_damper: jax.Array = None   # (nv,)
+  qfrc_gravcomp: jax.Array = None  # (nv,)
+  qfrc_fluid: jax.Array = None    # (nv,)
+  qfrc_passive: jax.Array = None  # (nv,)
+
+  # ------- actuation -------
+  act_dot: jax.Array = None       # (na,)
+  actuator_force: jax.Array = None  # (nu,)
+  qfrc_actuator: jax.Array = None   # (nv,)
+
+  # ------- acceleration stage -------
+  qfrc_smooth: jax.Array = None   # (nv,)
+  qacc_smooth: jax.Array = None   # (nv,)
+  qfrc_constraint: jax.Array = None  # (nv,)
+  qacc: jax.Array = None          # (nv,)
+  qfrc_inverse: jax.Array = None  # (nv,)
+
+  # ------- constraints (static shapes, counted at trace time) -------
+  contact: Optional[Contact] = None
+  ne: int = static_field(default=0)
+  nf: int = static_field(default=0)
+  nl: int = static_field(default=0)
+  nefc: int = static_field(default=0)
+  efc_J: jax.Array = None         # (nefc, nv)
+  efc_pos: jax.Array = None       # (nefc,)
+  efc_margin: jax.Array = None    # (nefc,)
+  efc_frictionloss: jax.Array = None  # (nefc,)
+  efc_D: jax.Array = None         # (nefc,)
+  efc_R: jax.Array = None         # (nefc,)
+  efc_aref: jax.Array = None      # (nefc,)
+  efc_force: jax.Array = None     # (nefc,)
+  efc_active: jax.Array = None    # (nefc,) bool mask of valid rows
+
+  # ------- post-constraint body quantities -------
+  cacc: jax.Array = None          # (nbody, 6)
+  cfrc_int: jax.Array = None      # (nbody, 6)
+  cfrc_ext: jax.Array = None      # (nbody, 6)
+
+  # ------- diagnostics / sensors / energy -------
+  sensordata: jax.Array = None    # (nsensordata,)
+  energy: jax.Array = None        # (2,) potential, kinetic
+  solver_fwdinv: jax.Array = None  # (2,)
+  solver_niter: jax.Array = None   # () int

@@ -1,0 +1,432 @@
+"""Smooth (unconstrained) dynamics: FK, CoM frames, CRB, LTDL, RNE.
+
+TPU-first design.  The reference implements these as sequential per-body C
+loops (reference ``src/engine/engine_core_smooth.c``: ``mj_kinematics``:38,
+``mj_comPos``:183, ``mj_crb``:1353, ``mj_factorM``:1470, ``mj_solveLD``:1629,
+``mj_comVel``:1833, ``mj_rne``:1969); MJX vectorizes them with type-grouped
+scans.  Here we use *level-wise masked vectorization*:
+
+* bodies at equal tree depth are updated together with gathers from parents;
+  the (static) level structure is unrolled at trace time;
+* joint-type variation is handled branchlessly — all type candidates are
+  computed and combined with trace-time-constant masks, which XLA folds;
+* per-dof quantities (cdof, RNE projections) are computed as single dense
+  ops over all ``nv`` dofs;
+* the mass matrix is assembled dense with one ``(nv,6) @ (6,nv)`` matmul
+  (MXU-shaped) and masked by the tree-ancestor sparsity pattern.
+
+Everything broadcasts over leading batch axes only via ``vmap`` at the
+caller; functions here take unbatched (m, d).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import (
+    Data,
+    DisableBit,
+    JointType,
+    Model,
+)
+from mujoco_inversedynamicstest_tpu.ops import math
+
+
+def _gather_window(x: jax.Array, adr: np.ndarray, width: int) -> jax.Array:
+  """Gathers static windows ``x[adr[i] : adr[i]+width]`` -> (B, width, ...).
+
+  ``adr`` is host numpy, so indices are trace-time constants; out-of-range
+  lanes are clipped (callers mask them out).
+  """
+  n = x.shape[0]
+  idx = np.clip(adr[:, None] + np.arange(width)[None, :], 0, max(n - 1, 0))
+  return x[idx]
+
+
+def _masked_scatter(dst: jax.Array, idx: np.ndarray, values: jax.Array,
+                    mask: jax.Array) -> jax.Array:
+  """Writes ``values`` into ``dst[idx]`` where ``mask``; duplicate-safe.
+
+  Invalid lanes of ``idx`` may be clipped duplicates of valid ones, so a
+  plain ``.at[idx].set`` is order-dependent.  Adding a masked delta makes
+  duplicates contribute exactly zero.
+  """
+  while mask.ndim < values.ndim:
+    mask = mask[..., None]
+  delta = jnp.where(mask, values - dst[idx], 0)
+  return dst.at[idx].add(delta)
+
+
+def _quat_adr(m: Model) -> np.ndarray:
+  """qpos addresses of quaternion segments (ball + free joints)."""
+  adrs = []
+  for j in range(m.njnt):
+    t = m.jnt_type[j]
+    if t == JointType.BALL:
+      adrs.append(m.jnt_qposadr[j])
+    elif t == JointType.FREE:
+      adrs.append(m.jnt_qposadr[j] + 3)
+  return np.array(adrs, dtype=np.int32)
+
+
+def kinematics(m: Model, d: Data) -> Data:
+  """Forward kinematics (analog of ``mj_kinematics``, ref :38).
+
+  Computes xpos/xquat/xmat, joint anchors/axes, inertial and geom/site
+  frames; normalizes quaternion segments of qpos in-place like the
+  reference.
+  """
+  dtype = d.qpos.dtype
+  qpos = d.qpos
+
+  # normalize all quaternion segments of qpos up front (the reference does
+  # it per-joint inside the tree loop; the result is identical).
+  quat_adr = _quat_adr(m)
+  if quat_adr.size:
+    idx = quat_adr[:, None] + np.arange(4)[None, :]
+    qpos = qpos.at[idx].set(math.normalize_quat(qpos[idx]))
+
+  nb = m.nbody
+  xpos = jnp.zeros((nb, 3), dtype=dtype)
+  xquat = jnp.zeros((nb, 4), dtype=dtype).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((m.njnt, 3), dtype=dtype)
+  xaxis = jnp.zeros((m.njnt, 3), dtype=dtype)
+
+  up = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
+
+  for lvl, bodies in enumerate(m.tree.body_levels):
+    par = m.body_parentid[bodies]
+    pos = xpos[par] + math.rotate(m.body_pos[bodies], xquat[par])
+    quat = math.quat_mul(xquat[par], m.body_quat[bodies])
+
+    for k in range(m.tree.level_max_jnts[lvl]):
+      valid_np = k < m.body_jntnum[bodies]
+      jids = np.where(valid_np, m.body_jntadr[bodies] + k, 0)
+      jtype = m.jnt_type[jids]
+      qadr = m.jnt_qposadr[jids]
+      valid = jnp.asarray(valid_np)
+
+      qwin = _gather_window(qpos, qadr, 7)        # (B, 7)
+      q0win = _gather_window(m.qpos0, qadr, 7)    # (B, 7)
+      jpos = m.jnt_pos[jids]
+      jaxis = m.jnt_axis[jids]
+
+      anchor_world = math.rotate(jpos, quat) + pos
+      axis_world = math.rotate(jaxis, quat)
+
+      is_free = jnp.asarray((jtype == JointType.FREE)[:, None])
+      is_ball = jnp.asarray((jtype == JointType.BALL)[:, None])
+      is_hinge = jnp.asarray((jtype == JointType.HINGE)[:, None])
+      is_slide = jnp.asarray((jtype == JointType.SLIDE)[:, None])
+
+      # --- free: pos/quat straight from qpos (already normalized) ---
+      free_pos = qwin[:, 0:3]
+      free_quat = math.normalize_quat(qwin[:, 3:7])
+
+      # --- ball: rotate about (possibly off-center) anchor ---
+      ball_quat = math.quat_mul(quat, math.normalize_quat(qwin[:, 0:4]))
+      ball_pos = anchor_world - math.rotate(jpos, ball_quat)
+
+      # --- hinge: axis-angle about anchor ---
+      angle = qwin[:, 0] - q0win[:, 0]
+      hinge_quat = math.quat_mul(quat, math.axis_angle_quat(jaxis, angle))
+      hinge_pos = anchor_world - math.rotate(jpos, hinge_quat)
+
+      # --- slide: translate along world axis ---
+      slide_pos = pos + axis_world * (qwin[:, 0] - q0win[:, 0])[:, None]
+
+      new_pos = (
+          jnp.where(is_free, free_pos, 0)
+          + jnp.where(is_ball, ball_pos, 0)
+          + jnp.where(is_hinge, hinge_pos, 0)
+          + jnp.where(is_slide, slide_pos, 0)
+      )
+      new_quat = (
+          jnp.where(is_free, free_quat, 0)
+          + jnp.where(is_ball, ball_quat, 0)
+          + jnp.where(is_hinge, hinge_quat, 0)
+          + jnp.where(is_slide, quat, 0)
+      )
+      anchor = jnp.where(is_free, free_pos, anchor_world)
+      axis = jnp.where(is_free, up, axis_world)
+
+      vmask = valid[:, None]
+      pos = jnp.where(vmask, new_pos, pos)
+      quat = jnp.where(vmask, new_quat, quat)
+      xanchor = _masked_scatter(xanchor, jids, anchor, valid)
+      xaxis = _masked_scatter(xaxis, jids, axis, valid)
+
+    xpos = xpos.at[bodies].set(pos)
+    xquat = xquat.at[bodies].set(quat)
+
+  # mocap bodies override their kinematic pose
+  if m.nmocap:
+    mocap_bodies = np.nonzero(m.body_mocapid >= 0)[0]
+    mocap_ids = m.body_mocapid[mocap_bodies]
+    xpos = xpos.at[mocap_bodies].set(d.mocap_pos[mocap_ids])
+    mquat = math.normalize_quat(d.mocap_quat[mocap_ids])
+    xquat = xquat.at[mocap_bodies].set(mquat)
+
+  xmat = math.quat_to_mat(xquat)
+  xipos, ximat = math.local_to_global(xpos, xquat, m.body_ipos, m.body_iquat)
+
+  d = d.replace(
+      qpos=qpos, xpos=xpos, xquat=xquat, xmat=xmat,
+      xanchor=xanchor, xaxis=xaxis, xipos=xipos, ximat=ximat,
+  )
+
+  if m.ngeom:
+    geom_xpos, geom_xmat = math.local_to_global(
+        xpos[m.geom_bodyid], xquat[m.geom_bodyid], m.geom_pos, m.geom_quat
+    )
+    d = d.replace(geom_xpos=geom_xpos, geom_xmat=geom_xmat)
+  if m.nsite:
+    site_xpos, site_xmat = math.local_to_global(
+        xpos[m.site_bodyid], xquat[m.site_bodyid], m.site_pos, m.site_quat
+    )
+    d = d.replace(site_xpos=site_xpos, site_xmat=site_xmat)
+  return d
+
+
+def _tree_sum_up(m: Model, x: jax.Array) -> jax.Array:
+  """Accumulates per-body quantities from leaves into ancestors.
+
+  After this, ``x[i]`` holds the subtree sum rooted at body i (including the
+  world row).  Level-wise: deepest level first, children scatter-add into
+  parents.
+  """
+  for bodies in reversed(m.tree.body_levels):
+    x = x.at[m.body_parentid[bodies]].add(x[bodies])
+  return x
+
+
+def com_pos(m: Model, d: Data) -> Data:
+  """Subtree CoM, CoM-frame inertias, and CoM-frame dof axes.
+
+  Analog of ``mj_comPos`` (ref ``engine_core_smooth.c:183``): computes
+  ``subtree_com``, the 10-compact ``cinert`` and per-dof ``cdof`` in the
+  frame centered at each kinematic root's subtree CoM.
+  """
+  dtype = d.qpos.dtype
+  mass = m.body_mass
+
+  mass_pos = _tree_sum_up(m, d.xipos * mass[:, None])
+  mass_sum = _tree_sum_up(m, mass)
+  com = mass_pos / jnp.maximum(mass_sum, math.MINVAL)[:, None]
+  subtree_com = jnp.where(
+      (mass_sum < math.MINVAL)[:, None], d.xipos, com
+  )
+
+  # --- cinert: rotate diagonal body inertia into world, parallel-axis shift
+  # to the root subtree CoM frame, pack as [triu(I), m*off, m].
+  root_com = subtree_com[m.body_rootid]
+  off = d.xipos - root_com
+  R = d.ximat
+  I_world = R * m.body_inertia[:, None, :] @ jnp.swapaxes(R, -1, -2)
+  off2 = jnp.sum(off * off, axis=-1)
+  # parallel axis: I += m (|off|^2 E - off off^T)
+  shift = (
+      off2[:, None, None] * jnp.eye(3, dtype=dtype)
+      - off[:, :, None] * off[:, None, :]
+  ) * mass[:, None, None]
+  I_tot = I_world + shift
+  cinert = jnp.concatenate(
+      [
+          I_tot[:, [0, 1, 2, 0, 0, 1], [0, 1, 2, 1, 2, 2]],
+          off * mass[:, None],
+          mass[:, None],
+      ],
+      axis=-1,
+  )
+
+  # --- cdof: all nv dofs at once, branchless over dof category.
+  dof_jnt = m.dof_jntid
+  dof_body = m.dof_bodyid
+  jtype = m.jnt_type[dof_jnt]
+  dof_off = np.arange(m.nv) - m.jnt_dofadr[dof_jnt]  # slot within joint
+
+  anchor = d.xanchor[dof_jnt]
+  offset = subtree_com[m.body_rootid[dof_body]] - anchor
+  xaxis = d.xaxis[dof_jnt]
+  xmat = d.xmat[dof_body]
+
+  # rotational axis for free(3..5)/ball dofs: column of body xmat
+  col = np.where(jtype == JointType.FREE, dof_off - 3, dof_off)
+  col = np.clip(col, 0, 2)
+  rot_axis = xmat[np.arange(m.nv), :, col]  # (nv, 3)
+
+  is_free_trans = (jtype == JointType.FREE) & (dof_off < 3)
+  is_free_rot = (jtype == JointType.FREE) & (dof_off >= 3)
+  is_ball = jtype == JointType.BALL
+  is_hinge = jtype == JointType.HINGE
+  is_slide = jtype == JointType.SLIDE
+
+  e_trans = jnp.asarray(np.eye(3)[np.clip(dof_off, 0, 2)], dtype=dtype)
+  zeros3 = jnp.zeros((m.nv, 3), dtype=dtype)
+
+  ang = (
+      jnp.where(jnp.asarray(is_free_rot | is_ball)[:, None], rot_axis, 0)
+      + jnp.where(jnp.asarray(is_hinge)[:, None], xaxis, 0)
+  )
+  lin_axis = jnp.where(
+      jnp.asarray(is_free_rot | is_ball)[:, None], rot_axis, xaxis
+  )
+  lin = (
+      jnp.where(jnp.asarray(is_free_trans)[:, None], e_trans, 0)
+      + jnp.where(jnp.asarray(is_slide)[:, None], xaxis, 0)
+      + jnp.where(
+          jnp.asarray(is_free_rot | is_ball | is_hinge)[:, None],
+          jnp.cross(lin_axis, offset),
+          0,
+      )
+  )
+  del zeros3
+  cdof = jnp.concatenate([ang, lin], axis=-1)
+
+  return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
+
+
+def crb(m: Model, d: Data) -> Data:
+  """Composite-rigid-body mass matrix, dense assembly.
+
+  Analog of ``mj_crb`` (ref ``engine_core_smooth.c:1353``).  The backward
+  inertia accumulation is level-wise; the matrix fill is one MXU matmul
+  ``(nv,6) @ (6,nv)`` masked by the tree-ancestor sparsity pattern and
+  symmetrized, instead of the reference's sparse row walk.
+  """
+  crb_body = _tree_sum_up(m, d.cinert)
+  crb_body = crb_body.at[0].set(0.0)
+
+  buf = math.inert_mul(crb_body[m.dof_bodyid], d.cdof)  # (nv, 6)
+  full = buf @ d.cdof.T                                 # (nv, nv)
+  mask = jnp.asarray(m.tree.ancestor_mask)
+  lower = jnp.where(mask, full, 0.0)                    # j ancestor-of-self i
+  qm = lower + lower.T - jnp.diag(jnp.diag(lower))
+  qm = qm + jnp.diag(m.dof_armature)
+
+  return d.replace(crb=crb_body, qM=qm)
+
+
+def factor_m(m: Model, d: Data) -> Data:
+  """Factorizes qM (dense Cholesky; analog of ``mj_factorM`` ref :1470).
+
+  The reference factors sparse LTDL in tree order; on TPU a dense batched
+  Cholesky maps better to the MXU for small nv.  (A level-parallel sparse
+  LTDL kernel is provided separately for large-nv models.)
+  """
+  qld = jnp.linalg.cholesky(d.qM)
+  return d.replace(qLD=qld)
+
+
+def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
+  """Solves M y = x using the factorization (analog ``mj_solveM`` ref :1713)."""
+  return jax.scipy.linalg.cho_solve((d.qLD, True), x)
+
+
+def mul_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
+  """Computes M @ x (analog of ``mj_mulM``, ref engine_support.c:966)."""
+  return d.qM @ x
+
+
+def com_vel(m: Model, d: Data) -> Data:
+  """Body CoM-frame velocities and dof-axis rates.
+
+  Analog of ``mj_comVel`` (ref ``engine_core_smooth.c:1833``).  Level-wise
+  over bodies; within a body, joints are applied in slot order with the
+  reference's exact update semantics:
+
+  * hinge/slide: ``cdof_dot = v x cdof`` with v *before* this dof;
+  * ball: all 3 dofs use v before the joint;
+  * free: translation dofs contribute first (cdof_dot = 0), rotation dofs
+    use v *after* the translation update.
+  """
+  dtype = d.qpos.dtype
+  nb = m.nbody
+  cvel = jnp.zeros((nb, 6), dtype=dtype)
+  cdof_dot = jnp.zeros((m.nv, 6), dtype=dtype)
+  qvel = d.qvel
+
+  for lvl, bodies in enumerate(m.tree.body_levels):
+    vel = cvel[m.body_parentid[bodies]]
+
+    for k in range(m.tree.level_max_jnts[lvl]):
+      valid_np = k < m.body_jntnum[bodies]
+      jids = np.where(valid_np, m.body_jntadr[bodies] + k, 0)
+      jtype = m.jnt_type[jids]
+      dadr = m.jnt_dofadr[jids]
+      width = np.array([6, 3, 1, 1])[jtype]
+
+      win = np.clip(dadr[:, None] + np.arange(6)[None, :], 0, m.nv - 1)
+      wmask_np = (np.arange(6)[None, :] < width[:, None]) & valid_np[:, None]
+      wmask = jnp.asarray(wmask_np, dtype=dtype)
+
+      cd = d.cdof[win]                      # (B, 6, 6)
+      qv = qvel[win] * wmask                # (B, 6)
+
+      is_free = (jtype == JointType.FREE)[:, None]
+
+      # translation-first update for free joints
+      trans_sel = jnp.asarray(
+          is_free & (np.arange(6)[None, :] < 3), dtype=dtype
+      )
+      vel_mid = vel + jnp.einsum("bw,bwc->bc", qv * trans_sel, cd)
+
+      # cdof_dot: cross(v, cdof) with the appropriate v per dof slot
+      cdd_pre = math.motion_cross(vel[:, None, :], cd)
+      cdd_mid = math.motion_cross(vel_mid[:, None, :], cd)
+      free_rot = jnp.asarray(is_free & (np.arange(6)[None, :] >= 3))
+      free_trans = jnp.asarray(is_free & (np.arange(6)[None, :] < 3))
+      cdd = jnp.where(free_rot[..., None], cdd_mid, cdd_pre)
+      cdd = jnp.where(free_trans[..., None], 0.0, cdd)
+
+      cdof_dot = _masked_scatter(cdof_dot, win, cdd, jnp.asarray(wmask_np))
+      vel = vel + jnp.einsum("bw,bwc->bc", qv, cd)
+
+    cvel = cvel.at[bodies].set(vel)
+
+  return d.replace(cvel=cvel, cdof_dot=cdof_dot)
+
+
+def rne(m: Model, d: Data, flg_acc: bool = False) -> jax.Array:
+  """Recursive Newton-Euler: C(qpos,qvel) [+ M qacc if flg_acc].
+
+  Analog of ``mj_rne`` (ref ``engine_core_smooth.c:1969``).  The
+  per-body dof sums have no intra-body ordering dependence, so they are
+  computed as one segment-sum over dofs; the tree prefix/suffix passes are
+  level-wise.
+  Returns the generalized force vector (nv,).
+  """
+  dtype = d.qpos.dtype
+  nb = m.nbody
+  seg = jnp.asarray(m.dof_bodyid)
+
+  # per-body velocity (and optionally acceleration) bias contributions
+  contrib = d.cdof_dot * d.qvel[:, None]
+  if flg_acc:
+    contrib = contrib + d.cdof * d.qacc[:, None]
+  body_contrib = jax.ops.segment_sum(contrib, seg, num_segments=nb)
+
+  # world pseudo-acceleration = -gravity (unless disabled)
+  if m.opt.disableflags & DisableBit.GRAVITY:
+    g = jnp.zeros(6, dtype=dtype)
+  else:
+    g = jnp.concatenate(
+        [jnp.zeros(3, dtype=dtype), -m.opt.gravity.astype(dtype)]
+    )
+  cacc = jnp.zeros((nb, 6), dtype=dtype).at[0].set(g)
+  for bodies in m.tree.body_levels:
+    cacc = cacc.at[bodies].set(
+        cacc[m.body_parentid[bodies]] + body_contrib[bodies]
+    )
+
+  # body-local forces: I a + v x* (I v)
+  cfrc = math.inert_mul(d.cinert, cacc) + math.force_cross(
+      d.cvel, math.inert_mul(d.cinert, d.cvel)
+  )
+  cfrc = cfrc.at[0].set(0.0)
+  cfrc = _tree_sum_up(m, cfrc)
+
+  # project into joint space
+  return jnp.sum(d.cdof * cfrc[seg], axis=-1)

@@ -1,0 +1,24 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh + float64.
+
+Differential tests compare against the C MuJoCo engine (pip ``mujoco``) in
+double precision — the MJX test strategy (reference
+``mjx/mujoco/mjx/_src/smooth_test.py`` et al.).  Multi-chip sharding tests
+run on 8 virtual CPU devices via ``xla_force_host_platform_device_count``.
+"""
+
+import os
+
+# Must run before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8"
+  ).strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize imports jax (registering the remote TPU
+# backend) before this file runs, so the env var alone is not enough.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,81 @@
+"""Inline MJCF test models (written for this project; no reference assets).
+
+Each model targets a particular code path, mirroring the reference's
+tiny-inline-MJCF test pattern (reference ``test/engine/*_test.cc``).
+"""
+
+PENDULUM = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0.1 0 0.5">
+      <joint type="hinge" axis="0 1 0" pos="0 0 0.15" damping="0.05"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0.15 0 0 -0.15" mass="1.2"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+NLINK = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint type="hinge" axis="0 1 0" stiffness="2.0" damping="0.1"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.2 0 0" mass="0.7"/>
+      <body pos="0.2 0 0" quat="0.96 0 0.28 0">
+        <joint type="hinge" axis="1 0 0" pos="0.02 0 0"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.2 0 0" mass="0.4"/>
+        <body pos="0.2 0 0">
+          <joint type="slide" axis="0 0 1" stiffness="11.0"/>
+          <geom type="box" size="0.04 0.03 0.02" mass="0.2"/>
+        </body>
+      </body>
+      <body pos="-0.1 0.1 0">
+        <joint type="ball" pos="0 0 0.05" damping="0.02"/>
+        <geom type="capsule" size="0.015" fromto="0 0 0 0 0.15 0" mass="0.3"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+FREEBODY = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <freejoint/>
+      <geom type="box" size="0.05 0.04 0.03" mass="0.5" pos="0.01 0 0.02"/>
+      <body pos="0.08 0 0">
+        <joint type="hinge" axis="0 0 1"/>
+        <geom type="capsule" size="0.01" fromto="0 0 0 0.1 0 0" mass="0.1"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+MULTIJOINT = """
+<mujoco>
+  <worldbody>
+    <body pos="0.05 0 0.6" quat="0.98 0.14 0 0.14">
+      <joint type="hinge" axis="0 1 0" pos="0 0 0.1"/>
+      <joint type="hinge" axis="1 0 0" pos="0 0 0.1"/>
+      <joint type="slide" axis="0 0 1"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0.1 0 0 -0.1" mass="0.8"/>
+      <body pos="0 0 -0.12">
+        <joint type="ball" damping="0.01"/>
+        <geom type="sphere" size="0.03" mass="0.2" pos="0 0 -0.05"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+ALL_SMOOTH = {
+    "pendulum": PENDULUM,
+    "nlink": NLINK,
+    "freebody": FREEBODY,
+    "multijoint": MULTIJOINT,
+}
