@@ -34,6 +34,22 @@ from mujoco_inversedynamicstest_tpu.models.types import (
     TrnType,
 )
 from mujoco_inversedynamicstest_tpu.ops import math
+from mujoco_inversedynamicstest_tpu.ops import support
+from mujoco_inversedynamicstest_tpu.ops.forward import (
+    euler,
+    forward,
+    fwd_acceleration,
+    fwd_actuation,
+    fwd_position,
+    fwd_velocity,
+    rungekutta4,
+    step,
+)
+from mujoco_inversedynamicstest_tpu.ops.inverse import (
+    compare_fwd_inv,
+    inverse,
+)
+from mujoco_inversedynamicstest_tpu.ops.passive import passive
 from mujoco_inversedynamicstest_tpu.ops.smooth import (
     com_pos,
     com_vel,
@@ -43,6 +59,7 @@ from mujoco_inversedynamicstest_tpu.ops.smooth import (
     mul_m,
     rne,
     solve_m,
+    transmission,
 )
 
 __version__ = "0.1.0"

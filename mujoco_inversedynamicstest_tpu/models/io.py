@@ -45,6 +45,8 @@ def build_tree_layout(
     body_parentid: np.ndarray,
     body_jntnum: np.ndarray,
     dof_parentid: np.ndarray,
+    body_dofadr: np.ndarray = None,
+    body_dofnum: np.ndarray = None,
 ) -> TreeLayout:
   """Computes level-wise tree tables from parent-id arrays.
 
@@ -97,7 +99,18 @@ def build_tree_layout(
   for i, chain in enumerate(ancestors):
     dof_ancestors[i, : len(chain)] = chain
 
+  # dof j moves body b iff j belongs to b or one of its ancestors
+  body_dof_mask = np.zeros((nbody, nv), dtype=bool)
+  if body_dofadr is not None:
+    for b in range(nbody):
+      a = b
+      while a != 0:
+        adr, num = body_dofadr[a], body_dofnum[a]
+        body_dof_mask[b, adr : adr + num] = True
+        a = body_parentid[a]
+
   return TreeLayout(
+      body_dof_mask=body_dof_mask,
       body_levels=body_levels,
       level_max_jnts=level_max_jnts,
       ancestor_mask=ancestor_mask,
@@ -135,7 +148,8 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
     JointType(jt)  # raises on unsupported joint types
 
   tree = build_tree_layout(
-      _np(mjm.body_parentid), _np(mjm.body_jntnum), _np(mjm.dof_parentid)
+      _np(mjm.body_parentid), _np(mjm.body_jntnum), _np(mjm.dof_parentid),
+      _np(mjm.body_dofadr), _np(mjm.body_dofnum),
   )
 
   return Model(
@@ -190,6 +204,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       jnt_bodyid=_np(mjm.jnt_bodyid),
       jnt_limited=_np(mjm.jnt_limited),
       jnt_actfrclimited=_np(mjm.jnt_actfrclimited),
+      jnt_actgravcomp=_np(mjm.jnt_actgravcomp),
       dof_armature=_jx(mjm.dof_armature, dtype),
       dof_damping=_jx(mjm.dof_damping, dtype),
       dof_invweight0=_jx(mjm.dof_invweight0, dtype),
@@ -286,6 +301,8 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       pair_gap=_jx(mjm.pair_gap, dtype),
       pair_friction=_jx(mjm.pair_friction, dtype),
       exclude_signature=_np(mjm.exclude_signature),
+      has_dof_damping=bool(np.any(_np(mjm.dof_damping) > 0)),
+      dof_frictionloss_nz=_np(mjm.dof_frictionloss) > 0,
       _source=mjm if _keep_source else None,
   )
 

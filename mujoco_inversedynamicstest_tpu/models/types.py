@@ -273,6 +273,10 @@ class TreeLayout:
   dof_levels: Tuple[np.ndarray, ...] = static_field(default=())
   # per-dof ancestor dof lists padded to max depth, -1 padded, (nv, maxd).
   dof_ancestors: np.ndarray = static_field(default=None)
+  # (nbody, nv) bool: dof j moves body b (j belongs to b or an ancestor).
+  # This is the support mask for point Jacobians (cf. reference
+  # src/engine/engine_support.c:389 mj_jac chain walk).
+  body_dof_mask: np.ndarray = static_field(default=None)
 
 
 @pytree
@@ -337,6 +341,7 @@ class Model:
   jnt_bodyid: np.ndarray = static_field(default=None)
   jnt_limited: np.ndarray = static_field(default=None)
   jnt_actfrclimited: np.ndarray = static_field(default=None)
+  jnt_actgravcomp: np.ndarray = static_field(default=None)
 
   # ------- dofs -------
   dof_armature: jax.Array = None      # (nv,)
@@ -452,6 +457,11 @@ class Model:
   pair_gap: jax.Array = None
   pair_friction: jax.Array = None
   exclude_signature: np.ndarray = static_field(default=None)
+
+  # trace-time specialization hints derived from the compiled model
+  has_dof_damping: bool = static_field(default=False)
+  # static nonzero pattern of dof_frictionloss (constraint row budgeting)
+  dof_frictionloss_nz: np.ndarray = static_field(default=None)
 
   # host-only handle to the source mujoco.MjModel (not traced, not hashed
   # into jit keys beyond identity) for interop/testing.

@@ -1,0 +1,324 @@
+"""Forward dynamics pipeline and integrators.
+
+Analog of ``src/engine/engine_forward.c``: ``mj_fwdPosition``:133,
+``mj_fwdVelocity``:193, ``mj_fwdActuation``:276, ``mj_fwdAcceleration``:520,
+``mj_Euler``:835, ``mj_RungeKutta``:855, ``mj_step``:1134 — recomposed as
+pure functions over the ``Data`` pytree with static-shape stages so a whole
+step is one XLA computation (batched with ``vmap``, sharded with
+``shard_map``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import (
+    BiasType,
+    Data,
+    DisableBit,
+    DynType,
+    GainType,
+    IntegratorType,
+    Model,
+)
+from mujoco_inversedynamicstest_tpu.ops import math, passive as passive_mod
+from mujoco_inversedynamicstest_tpu.ops import smooth, support
+from mujoco_inversedynamicstest_tpu.ops import constraint as constraint_mod
+from mujoco_inversedynamicstest_tpu.ops import solver as solver_mod
+from mujoco_inversedynamicstest_tpu.ops import sensor as sensor_mod
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+  """Position-dependent computations (ref ``mj_fwdPosition``:133)."""
+  d = smooth.kinematics(m, d)
+  d = smooth.com_pos(m, d)
+  # camlight: no-op until camera support
+  d = smooth.crb(m, d)
+  d = smooth.factor_m(m, d)
+  d = constraint_mod.collision_stage(m, d)
+  d = constraint_mod.make_constraint(m, d)
+  d = smooth.transmission(m, d)
+  return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+  """Velocity-dependent computations (ref ``mj_fwdVelocity``:193)."""
+  if m.nu:
+    d = d.replace(actuator_velocity=d.actuator_moment @ d.qvel)
+  d = smooth.com_vel(m, d)
+  d = passive_mod.passive(m, d)
+  d = constraint_mod.reference_constraint(m, d)
+  d = d.replace(qfrc_bias=smooth.rne(m, d, flg_acc=False))
+  return d
+
+
+def _next_activation(m: Model, d: Data, act_dot: jax.Array) -> jax.Array:
+  """Advances activation states one step (ref ``nextActivation``,
+  engine_forward.c:236): exact update for FILTEREXACT, Euler otherwise,
+  then clamping to actrange."""
+  if not m.na:
+    return d.act
+
+  act_actid = _act_slot_actuator(m)
+  h = m.opt.timestep
+  act = d.act + act_dot * h
+
+  exact = np.nonzero(
+      m.actuator_dyntype[act_actid] == DynType.FILTEREXACT
+  )[0]
+  if exact.size:
+    tau = jnp.maximum(m.actuator_dynprm[act_actid[exact], 0], math.MINVAL)
+    act = act.at[exact].set(
+        d.act[exact] + act_dot[exact] * tau * (1 - jnp.exp(-h / tau))
+    )
+
+  limited = np.nonzero(m.actuator_actlimited[act_actid])[0]
+  if limited.size:
+    rng = m.actuator_actrange[act_actid[limited]]
+    act = act.at[limited].set(
+        jnp.clip(act[limited], rng[:, 0], rng[:, 1])
+    )
+  return act
+
+
+def _act_slot_actuator(m: Model) -> np.ndarray:
+  """Maps each activation slot to its owning actuator id (static)."""
+  act_actid = np.zeros(m.na, dtype=np.int32)
+  for i in range(m.nu):
+    adr, num = m.actuator_actadr[i], m.actuator_actnum[i]
+    if adr >= 0:
+      act_actid[adr : adr + num] = i
+  return act_actid
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+  """Actuator forces (ref ``mj_fwdActuation``:276).
+
+  Supports NONE/INTEGRATOR/FILTER/FILTEREXACT dynamics, FIXED/AFFINE gain,
+  NONE/AFFINE bias.  Muscle models arrive with the tendon subsystem.
+  """
+  dtype = d.qpos.dtype
+  nu, nv, na = m.nu, m.nv, m.na
+
+  if not nu or (m.opt.disableflags & DisableBit.ACTUATION):
+    return d.replace(
+        qfrc_actuator=jnp.zeros(nv, dtype=dtype),
+        actuator_force=jnp.zeros(nu, dtype=dtype),
+        act_dot=jnp.zeros(na, dtype=dtype),
+    )
+
+  # clamp (and sanitize) controls
+  ctrl = d.ctrl
+  if not (m.opt.disableflags & DisableBit.CLAMPCTRL):
+    limited = jnp.asarray(m.actuator_ctrllimited.astype(bool))
+    ctrl = jnp.where(
+        limited,
+        jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]),
+        ctrl,
+    )
+  ctrl = jnp.where(jnp.any(~jnp.isfinite(ctrl)), 0.0, ctrl)
+
+  # --- act_dot per activation slot ---
+  act_dot = jnp.zeros(na, dtype=dtype)
+  if na:
+    act_actid = _act_slot_actuator(m)
+    # last slot of each stateful actuator gets the dynamics update
+    last_adr = m.actuator_actadr + m.actuator_actnum - 1
+    stateful = np.nonzero(m.actuator_actadr >= 0)[0]
+    for i in stateful:
+      dyn = DynType(m.actuator_dyntype[i])
+      slot = last_adr[i]
+      if dyn == DynType.INTEGRATOR:
+        act_dot = act_dot.at[slot].set(ctrl[i])
+      elif dyn in (DynType.FILTER, DynType.FILTEREXACT):
+        tau = jnp.maximum(m.actuator_dynprm[i, 0], math.MINVAL)
+        act_dot = act_dot.at[slot].set((ctrl[i] - d.act[slot]) / tau)
+      elif dyn == DynType.MUSCLE:
+        raise NotImplementedError("muscle dynamics: pending tendon module")
+
+  # --- gain and bias ---
+  gaintype = m.actuator_gaintype
+  biastype = m.actuator_biastype
+  if not np.all(np.isin(gaintype, (GainType.FIXED, GainType.AFFINE))):
+    raise NotImplementedError(f"gain types {set(gaintype)}")
+  if not np.all(np.isin(biastype, (BiasType.NONE, BiasType.AFFINE))):
+    raise NotImplementedError(f"bias types {set(biastype)}")
+
+  gp, bp = m.actuator_gainprm, m.actuator_biasprm
+  affine_g = jnp.asarray((gaintype == GainType.AFFINE))
+  gain = jnp.where(
+      affine_g,
+      gp[:, 0] + gp[:, 1] * d.actuator_length + gp[:, 2] * d.actuator_velocity,
+      gp[:, 0],
+  )
+  affine_b = jnp.asarray((biastype == BiasType.AFFINE))
+  bias = jnp.where(
+      affine_b,
+      bp[:, 0] + bp[:, 1] * d.actuator_length + bp[:, 2] * d.actuator_velocity,
+      0.0,
+  )
+
+  # --- input: ctrl for stateless, last activation for stateful ---
+  act_input = ctrl
+  if na:
+    stateful_mask = m.actuator_actadr >= 0
+    last_adr_c = np.clip(last_adr, 0, max(na - 1, 0))
+    act_last = d.act[last_adr_c]
+    # actearly: use next-step activation
+    early = np.nonzero(stateful_mask & m.actuator_actearly.astype(bool))[0]
+    if early.size:
+      act_next = _next_activation(m, d, act_dot)[last_adr_c]
+      act_last = act_last.at[early].set(act_next[early])
+    act_input = jnp.where(jnp.asarray(stateful_mask), act_last, ctrl)
+
+  force = gain * act_input + bias
+
+  limited_f = jnp.asarray(m.actuator_forcelimited.astype(bool))
+  force = jnp.where(
+      limited_f,
+      jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]),
+      force,
+  )
+
+  qfrc = d.actuator_moment.T @ force
+
+  # joint-level gravcomp routed through actuators (ref :508-531)
+  actgrav = np.nonzero(m.jnt_actgravcomp)[0]
+  if actgrav.size:
+    mask = np.zeros(nv, dtype=bool)
+    for j in actgrav:
+      adr = m.jnt_dofadr[j]
+      from mujoco_inversedynamicstest_tpu.models.types import JointType
+      mask[adr : adr + JointType(m.jnt_type[j]).dof_width()] = True
+    qfrc = qfrc + jnp.where(jnp.asarray(mask), d.qfrc_gravcomp, 0.0)
+
+  # clamp actuator force at joint level (first dof of limited joints)
+  limited_j = np.nonzero(m.jnt_actfrclimited)[0]
+  if limited_j.size:
+    adr = m.jnt_dofadr[limited_j]
+    rng = m.jnt_actfrcrange[limited_j]
+    qfrc = qfrc.at[adr].set(jnp.clip(qfrc[adr], rng[:, 0], rng[:, 1]))
+
+  return d.replace(
+      qfrc_actuator=qfrc, actuator_force=force, act_dot=act_dot
+  )
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  """Smooth acceleration (ref ``mj_fwdAcceleration``:520)."""
+  qfrc = (
+      d.qfrc_passive
+      - d.qfrc_bias
+      + d.qfrc_applied
+      + d.qfrc_actuator
+      + support.xfrc_accumulate(m, d)
+  )
+  qacc_smooth = smooth.solve_m(m, d, qfrc)
+  return d.replace(qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
+
+
+def forward(m: Model, d: Data, skip_sensor: bool = False) -> Data:
+  """Full forward dynamics (ref ``mj_forward`` = ``mj_forwardSkip(NONE)``)."""
+  d = fwd_position(m, d)
+  if not skip_sensor:
+    d = sensor_mod.sensor_pos(m, d)
+  d = fwd_velocity(m, d)
+  if not skip_sensor:
+    d = sensor_mod.sensor_vel(m, d)
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = solver_mod.fwd_constraint(m, d)
+  if not skip_sensor:
+    d = sensor_mod.sensor_acc(m, d)
+  return d
+
+
+def _advance(m: Model, d: Data, act_dot: jax.Array, qacc: jax.Array,
+             qvel_for_pos: Optional[jax.Array] = None) -> Data:
+  """State advance (ref ``mj_advance``, engine_forward.c:738)."""
+  act = d.act
+  if m.na and not (m.opt.disableflags & DisableBit.ACTUATION):
+    act = _next_activation(m, d, act_dot)
+  qvel = d.qvel + qacc * m.opt.timestep
+  qpos = support.integrate_pos(
+      m, d.qpos, qvel if qvel_for_pos is None else qvel_for_pos,
+      m.opt.timestep,
+  )
+  return d.replace(
+      act=act, qvel=qvel, qpos=qpos, time=d.time + m.opt.timestep
+  )
+
+
+def euler(m: Model, d: Data) -> Data:
+  """Semi-implicit Euler with implicit joint damping.
+
+  (ref ``mj_EulerSkip``:779: when damping present and EULERDAMP enabled,
+  solves (M + h diag(B)) qacc = qfrc_smooth + qfrc_constraint).  Dense
+  Cholesky replaces the reference's sparse in-place refactorization.
+  """
+  qacc = d.qacc
+  use_damp = m.has_dof_damping and not (
+      m.opt.disableflags & DisableBit.EULERDAMP
+  )
+  if use_damp:
+    mh = d.qM + jnp.diag(m.opt.timestep * m.dof_damping)
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    lh = jnp.linalg.cholesky(mh)
+    qacc = jax.scipy.linalg.cho_solve((lh, True), qfrc)
+  return _advance(m, d, d.act_dot, qacc)
+
+
+def rungekutta4(m: Model, d: Data) -> Data:
+  """Explicit RK4 (ref ``mj_RungeKutta``:855, tableau :841)."""
+  # Butcher tableau (same as the reference's fixed RK4)
+  A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+  B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+  h = m.opt.timestep
+
+  d0 = d
+  qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+  # stage lists: velocities (for qpos-dot), accelerations, act rates
+  vels = [qvel0]
+  accs = [d.qacc]
+  act_dots = [d.act_dot]
+
+  for i in range(3):
+    dqvel = sum(A[i][j] * vels[j] for j in range(i + 1))
+    dqacc = sum(A[i][j] * accs[j] for j in range(i + 1))
+    dact = sum(A[i][j] * act_dots[j] for j in range(i + 1))
+    qpos_i = support.integrate_pos(m, qpos0, dqvel, h)
+    qvel_i = qvel0 + h * dqacc
+    act_i = act0 + h * dact
+    di = d0.replace(qpos=qpos_i, qvel=qvel_i, act=act_i)
+    di = forward(m, di, skip_sensor=True)
+    vels.append(qvel_i)
+    accs.append(di.qacc)
+    act_dots.append(di.act_dot)
+
+  dqvel = sum(b * v for b, v in zip(B, vels))
+  dqacc = sum(b * a for b, a in zip(B, accs))
+  dact = sum(b * a for b, a in zip(B, act_dots))
+
+  return _advance(m, d0, dact, dqacc, qvel_for_pos=dqvel)
+
+
+def implicit(m: Model, d: Data) -> Data:
+  """Implicit-in-velocity integrators (ref ``mj_implicitSkip``:948)."""
+  raise NotImplementedError(
+      "implicit/implicitfast integrators: pending qDeriv (mjd_smooth_vel)"
+  )
+
+
+def step(m: Model, d: Data) -> Data:
+  """One simulation step (ref ``mj_step``, engine_forward.c:1134)."""
+  d = forward(m, d)
+  integrator = IntegratorType(m.opt.integrator)
+  if integrator == IntegratorType.EULER:
+    return euler(m, d)
+  if integrator == IntegratorType.RK4:
+    return rungekutta4(m, d)
+  return implicit(m, d)

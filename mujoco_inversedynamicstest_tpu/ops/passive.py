@@ -1,0 +1,123 @@
+"""Passive forces: joint springs, dof dampers, gravity compensation, fluid.
+
+Analog of ``mj_passive`` (reference ``src/engine/engine_passive.c:436``):
+``qfrc_passive = qfrc_spring + qfrc_damper + qfrc_gravcomp + qfrc_fluid``
+with per-component disable flags (installed-mujoco SPRING/DAMPER split).
+Joint springs are computed branchlessly per joint group; gravity
+compensation uses the dense all-body point-Jacobian contraction from
+:mod:`support`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import (
+    Data,
+    DisableBit,
+    JointType,
+    Model,
+)
+from mujoco_inversedynamicstest_tpu.ops import math, support
+
+
+def _spring(m: Model, d: Data) -> jax.Array:
+  """Joint-level spring forces toward ``qpos_spring``."""
+  qfrc = jnp.zeros(m.nv, dtype=d.qpos.dtype)
+  jt = m.jnt_type
+
+  scalar = np.nonzero((jt == JointType.HINGE) | (jt == JointType.SLIDE))[0]
+  if scalar.size:
+    padr = m.jnt_qposadr[scalar]
+    vadr = m.jnt_dofadr[scalar]
+    k = m.jnt_stiffness[scalar]
+    qfrc = qfrc.at[vadr].add(-k * (d.qpos[padr] - m.qpos_spring[padr]))
+
+  free = np.nonzero(jt == JointType.FREE)[0]
+  if free.size:
+    padr = m.jnt_qposadr[free]
+    vadr = m.jnt_dofadr[free]
+    k = m.jnt_stiffness[free]
+    pidx = padr[:, None] + np.arange(3)[None, :]
+    vidx = vadr[:, None] + np.arange(3)[None, :]
+    qfrc = qfrc.at[vidx].add(
+        -k[:, None] * (d.qpos[pidx] - m.qpos_spring[pidx])
+    )
+
+  # rotational springs (ball joints; rotational part of free joints)
+  ball = np.nonzero(jt == JointType.BALL)[0]
+  rot_jnts = [(ball, 0, 0)] + ([(free, 3, 3)] if free.size else [])
+  for jids, p_off, v_off in rot_jnts:
+    if not jids.size:
+      continue
+    padr = m.jnt_qposadr[jids] + p_off
+    vadr = m.jnt_dofadr[jids] + v_off
+    k = m.jnt_stiffness[jids]
+    pidx = padr[:, None] + np.arange(4)[None, :]
+    vidx = vadr[:, None] + np.arange(3)[None, :]
+    quat = math.normalize_quat(d.qpos[pidx])
+    dif = math.quat_sub(quat, m.qpos_spring[pidx])
+    qfrc = qfrc.at[vidx].add(-k[:, None] * dif)
+
+  return qfrc
+
+
+def gravcomp(m: Model, d: Data) -> jax.Array:
+  """Per-body gravity compensation mapped to joint space.
+
+  Analog of ``mj_gravcomp`` (reference ``engine_passive.c:380``): force
+  ``-gravity * mass * body_gravcomp`` applied at each body's CoM.
+  """
+  forces = (
+      -m.opt.gravity[None, :]
+      * (m.body_mass * m.body_gravcomp)[:, None]
+  )
+  jacp, _ = support.jac_all_bodies(m, d, d.xipos)
+  return jnp.einsum("bvc,bc->v", jacp, forces)
+
+
+def passive(m: Model, d: Data) -> Data:
+  """All passive forces (reference ``mj_passive``, engine_passive.c:436)."""
+  dtype = d.qpos.dtype
+  zero = jnp.zeros(m.nv, dtype=dtype)
+  flags = m.opt.disableflags
+
+  qfrc_spring = zero
+  if not (flags & DisableBit.SPRING):
+    qfrc_spring = _spring(m, d)
+
+  qfrc_damper = zero
+  if not (flags & DisableBit.DAMPER):
+    qfrc_damper = -m.dof_damping * d.qvel
+
+  qfrc_gravcomp = zero
+  if not (flags & DisableBit.GRAVITY):
+    qfrc_gravcomp = gravcomp(m, d)
+
+  # fluid forces (inertia-box / ellipsoid models) are not yet implemented;
+  # models with nonzero density/viscosity are rejected at put_model time.
+  qfrc_fluid = zero
+
+  qfrc_passive = qfrc_spring + qfrc_damper + qfrc_fluid
+
+  # gravcomp enters qfrc_passive only for joints not flagged actgravcomp
+  # (those are added to qfrc_actuator instead; ref engine_passive.c:489).
+  mask = np.ones(m.nv, dtype=bool)
+  for j in range(m.njnt):
+    if m.jnt_actgravcomp[j]:
+      adr = m.jnt_dofadr[j]
+      width = JointType(m.jnt_type[j]).dof_width()
+      mask[adr : adr + width] = False
+  qfrc_passive = qfrc_passive + jnp.where(
+      jnp.asarray(mask), qfrc_gravcomp, 0.0
+  )
+
+  return d.replace(
+      qfrc_spring=qfrc_spring,
+      qfrc_damper=qfrc_damper,
+      qfrc_gravcomp=qfrc_gravcomp,
+      qfrc_fluid=qfrc_fluid,
+      qfrc_passive=qfrc_passive,
+  )

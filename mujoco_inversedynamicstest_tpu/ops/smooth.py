@@ -389,6 +389,86 @@ def com_vel(m: Model, d: Data) -> Data:
   return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
+def transmission(m: Model, d: Data) -> Data:
+  """Actuator lengths and moment arms (dense (nu, nv) moment matrix).
+
+  Analog of ``mj_transmission`` (reference ``engine_core_smooth.c:865``)
+  for JOINT / JOINTINPARENT transmissions; tendon and site transmissions
+  are filled in by the tendon module.  The reference stores moments
+  sparsely; here the moment matrix is dense so actuation becomes two
+  MXU matmuls.
+  """
+  from mujoco_inversedynamicstest_tpu.models.types import TrnType
+
+  if not m.nu:
+    return d
+
+  dtype = d.qpos.dtype
+  length = jnp.zeros(m.nu, dtype=dtype)
+  moment = jnp.zeros((m.nu, m.nv), dtype=dtype)
+
+  trntype = m.actuator_trntype
+  trnid = m.actuator_trnid[:, 0]
+
+  joint_like = np.isin(
+      trntype, (TrnType.JOINT, TrnType.JOINTINPARENT)
+  )
+
+  # --- scalar joints (hinge/slide): length = qpos * gear0, moment = gear0
+  sel = np.nonzero(
+      joint_like
+      & np.isin(m.jnt_type[trnid], (JointType.HINGE, JointType.SLIDE))
+  )[0]
+  if sel.size:
+    jid = trnid[sel]
+    g0 = m.actuator_gear[sel, 0]
+    length = length.at[sel].set(d.qpos[m.jnt_qposadr[jid]] * g0)
+    moment = moment.at[sel, m.jnt_dofadr[jid]].set(g0)
+
+  # --- ball joints: 3D rotational gear
+  sel = np.nonzero(joint_like & (m.jnt_type[trnid] == JointType.BALL))[0]
+  if sel.size:
+    jid = trnid[sel]
+    qidx = m.jnt_qposadr[jid][:, None] + np.arange(4)[None, :]
+    quat = math.normalize_quat(d.qpos[qidx])
+    axis = math.quat_sub(quat, jnp.zeros_like(quat).at[:, 0].set(1.0))
+    gear = m.actuator_gear[sel, 0:3]
+    in_parent = jnp.asarray(
+        (trntype[sel] == TrnType.JOINTINPARENT)[:, None]
+    )
+    gear_axis = jnp.where(in_parent, math.rotate_inv(gear, quat), gear)
+    length = length.at[sel].set(jnp.sum(axis * gear_axis, axis=-1))
+    vidx = m.jnt_dofadr[jid][:, None] + np.arange(3)[None, :]
+    moment = moment.at[sel[:, None], vidx].set(gear_axis)
+
+  # --- free joints: 6D wrench gear, zero length
+  sel = np.nonzero(joint_like & (m.jnt_type[trnid] == JointType.FREE))[0]
+  if sel.size:
+    jid = trnid[sel]
+    qidx = m.jnt_qposadr[jid][:, None] + 3 + np.arange(4)[None, :]
+    quat = math.normalize_quat(d.qpos[qidx])
+    gear_rot = m.actuator_gear[sel, 3:6]
+    in_parent = jnp.asarray(
+        (trntype[sel] == TrnType.JOINTINPARENT)[:, None]
+    )
+    gear_axis = jnp.where(
+        in_parent, math.rotate_inv(gear_rot, quat), gear_rot
+    )
+    vidx = m.jnt_dofadr[jid][:, None] + np.arange(6)[None, :]
+    moment = moment.at[sel[:, None], vidx].set(
+        jnp.concatenate([m.actuator_gear[sel, 0:3], gear_axis], axis=-1)
+    )
+
+  unsupported = np.nonzero(~joint_like)[0]
+  if unsupported.size:
+    raise NotImplementedError(
+        f"actuator transmission types {set(trntype[unsupported])} not yet "
+        "supported"
+    )
+
+  return d.replace(actuator_length=length, actuator_moment=moment)
+
+
 def rne(m: Model, d: Data, flg_acc: bool = False) -> jax.Array:
   """Recursive Newton-Euler: C(qpos,qvel) [+ M qacc if flg_acc].
 

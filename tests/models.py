@@ -73,9 +73,82 @@ MULTIJOINT = """
 </mujoco>
 """
 
+ACTUATED = """
+<mujoco>
+  <option timestep="0.002">
+    <flag contact="disable"/>
+  </option>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="j0" type="hinge" axis="0 1 0" stiffness="3" damping="0.2"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.25 0 0" mass="0.6"/>
+      <body pos="0.25 0 0">
+        <joint name="j1" type="hinge" axis="1 0 0" damping="0.05"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.2 0 0" mass="0.4"/>
+        <body pos="0.2 0 0">
+          <joint name="j2" type="slide" axis="0 0 1" stiffness="8"/>
+          <geom type="box" size="0.03 0.03 0.03" mass="0.2"/>
+        </body>
+      </body>
+    </body>
+    <body pos="0.5 0.5 1">
+      <joint name="jb" type="ball" damping="0.01"/>
+      <geom type="capsule" size="0.015" fromto="0 0 0 0 0 -0.2" mass="0.3"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="j0" gear="1.5" ctrlrange="-2 2"/>
+    <position joint="j1" kp="10" ctrlrange="-1 1"/>
+    <velocity joint="j2" kv="2"/>
+    <general joint="j0" dyntype="filter" dynprm="0.05" gainprm="3.0"
+             biastype="affine" biasprm="0 -0.5 -0.1"/>
+    <general joint="jb" gear="0.5 0.3 0.1"/>
+  </actuator>
+</mujoco>
+"""
+
+GRAVCOMP = """
+<mujoco>
+  <option timestep="0.002">
+    <flag contact="disable"/>
+  </option>
+  <worldbody>
+    <body pos="0 0 1" gravcomp="0.8">
+      <joint type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="0.5"/>
+      <body pos="0.3 0 0" gravcomp="1.0">
+        <joint type="ball"/>
+        <geom type="sphere" size="0.04" mass="0.2" pos="0 0 -0.06"/>
+      </body>
+    </body>
+    <body pos="1 0 1" gravcomp="0.5">
+      <freejoint/>
+      <geom type="box" size="0.04 0.04 0.04" mass="0.3"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+NLINK_NOCON = NLINK.replace(
+    "<option timestep=\"0.002\"/>",
+    "<option timestep=\"0.002\"><flag contact=\"disable\"/></option>",
+)
+FREEBODY_NOCON = FREEBODY.replace(
+    "<option timestep=\"0.002\"/>",
+    "<option timestep=\"0.002\"><flag contact=\"disable\"/></option>",
+)
+
 ALL_SMOOTH = {
     "pendulum": PENDULUM,
     "nlink": NLINK,
     "freebody": FREEBODY,
     "multijoint": MULTIJOINT,
+}
+
+ALL_STEPPABLE = {
+    "pendulum": PENDULUM,
+    "nlink": NLINK_NOCON,
+    "freebody": FREEBODY_NOCON,
+    "actuated": ACTUATED,
+    "gravcomp": GRAVCOMP,
 }
