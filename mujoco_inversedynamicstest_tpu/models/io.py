@@ -291,6 +291,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       sensor_needstage=_np(mjm.sensor_needstage),
       qpos0=_jx(mjm.qpos0, dtype),
       qpos_spring=_jx(mjm.qpos_spring, dtype),
+      stat_meaninertia=jnp.asarray(mjm.stat.meaninertia, dtype=dtype),
       pair_dim=_np(mjm.pair_dim),
       pair_geom1=_np(mjm.pair_geom1),
       pair_geom2=_np(mjm.pair_geom2),
@@ -325,8 +326,11 @@ def make_data(m: Model, dtype=None) -> Data:
   ``src/engine/engine_io.c:1403``): qpos = qpos0, everything else zero,
   with static shapes derived from the model.
   """
+  from mujoco_inversedynamicstest_tpu.ops.constraint import row_layout
+
   dtype = dtype or m.dtype
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  lay = row_layout(m)
 
   nbody, nv, nq = m.nbody, m.nv, m.nq
   identity_quat = jnp.tile(
@@ -388,19 +392,22 @@ def make_data(m: Model, dtype=None) -> Data:
       qacc=z(nv),
       qfrc_inverse=z(nv),
       contact=None,
-      ne=0,
-      nf=0,
-      nl=0,
-      nefc=0,
-      efc_J=z(0, nv),
-      efc_pos=z(0),
-      efc_margin=z(0),
-      efc_frictionloss=z(0),
-      efc_D=z(0),
-      efc_R=z(0),
-      efc_aref=z(0),
-      efc_force=z(0),
-      efc_active=jnp.zeros((0,), dtype=bool),
+      ne=lay.ne,
+      nf=lay.nf,
+      nl=lay.nl,
+      nefc=lay.nefc,
+      efc_J=z(lay.nefc, nv),
+      efc_pos=z(lay.nefc),
+      efc_margin=z(lay.nefc),
+      efc_frictionloss=z(lay.nefc),
+      efc_D=z(lay.nefc),
+      efc_R=z(lay.nefc),
+      efc_aref=z(lay.nefc),
+      efc_force=z(lay.nefc),
+      efc_active=jnp.zeros((lay.nefc,), dtype=bool),
+      efc_KBIP=z(lay.nefc, 4),
+      efc_type=lay.efc_type,
+      efc_id=lay.efc_id,
       cacc=z(nbody, 6),
       cfrc_int=z(nbody, 6),
       cfrc_ext=z(nbody, 6),

@@ -179,6 +179,18 @@ class SensorType(enum.IntEnum):
   CLOCK = 45
 
 
+class ConstraintType(enum.IntEnum):
+  """mjtConstraint."""
+  EQUALITY = 0
+  FRICTION_DOF = 1
+  FRICTION_TENDON = 2
+  LIMIT_JOINT = 3
+  LIMIT_TENDON = 4
+  CONTACT_FRICTIONLESS = 5
+  CONTACT_PYRAMIDAL = 6
+  CONTACT_ELLIPTIC = 7
+
+
 class ObjType(enum.IntEnum):
   """mjtObj (subset used by sensors/equality)."""
   UNKNOWN = 0
@@ -445,6 +457,9 @@ class Model:
   qpos0: jax.Array = None             # (nq,)
   qpos_spring: jax.Array = None       # (nq,)
 
+  # ------- statistics (mjStatistic) -------
+  stat_meaninertia: jax.Array = None  # scalar
+
   # ------- collision/static-shape budgeting (static) -------
   # explicit geom pair list from <pair> elements
   pair_dim: np.ndarray = static_field(default=None)
@@ -573,6 +588,9 @@ class Data:
   efc_aref: jax.Array = None      # (nefc,)
   efc_force: jax.Array = None     # (nefc,)
   efc_active: jax.Array = None    # (nefc,) bool mask of valid rows
+  efc_KBIP: jax.Array = None      # (nefc, 4) stiffness/damping/imp/imp'
+  efc_type: np.ndarray = static_field(default=None)  # (nefc,) ConstraintType
+  efc_id: np.ndarray = static_field(default=None)    # (nefc,) source element
 
   # ------- post-constraint body quantities -------
   cacc: jax.Array = None          # (nbody, 6)

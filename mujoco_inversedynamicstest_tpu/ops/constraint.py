@@ -1,40 +1,107 @@
-"""Constraint assembly: static-shape efc row construction.
+"""Constraint assembly: static-shape efc rows with activity masks.
 
-Analog of ``mj_makeConstraint`` (reference
-``src/engine/engine_core_constraint.c:2005``).  TPU-first: row counts are
-fixed at trace time from the model (equality rows, friction dofs, joint
-limits, contact budget); inactive rows are masked, not absent — the
-reference's dynamic arena allocation has no analog here.
+Analog of the reference constraint pipeline
+(``src/engine/engine_core_constraint.c``): row instantiation
+(``mj_instantiateEquality``:493, ``mj_instantiateFriction``:768,
+``mj_instantiateLimit``:824), diagonal approximation (``mj_diagApprox``:1138),
+impedance (``mj_makeImpedance``:1494), reference acceleration
+(``mj_referenceConstraint``:2362) and the state-dependent force update
+(``mj_constraintUpdate``:2556).
 
-This module currently implements the smooth-model fast path (zero rows).
-Equality/limit/friction/contact rows land with the constraint milestone.
+TPU-first re-design: the reference allocates only *active* rows in a dynamic
+arena; here every potential row exists statically (equality rows per
+equality element, two limit rows per limited scalar joint, one per limited
+ball joint, one friction row per frictional dof) and inactivity is encoded
+by zeroing the row's Jacobian and regularization (D = 0), which makes
+inactive rows exact no-ops in every downstream reduction.  Row order
+follows the reference: equality, friction, limits, contacts — so the
+``ne/nf/nl`` segmentation semantics carry over.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple, Tuple
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mujoco_inversedynamicstest_tpu.models.types import (
+    ConstraintType,
     Data,
     DisableBit,
+    EqType,
+    JointType,
     Model,
+    ObjType,
 )
+from mujoco_inversedynamicstest_tpu.ops import math
+from mujoco_inversedynamicstest_tpu.ops import support
+
+# mjMINIMP / mjMAXIMP (reference include/mujoco/mjmodel.h)
+_MINIMP = 0.0001
+_MAXIMP = 0.9999
+
+_EQ_ROWS = {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
+            EqType.TENDON: 1, EqType.DISTANCE: 1}
 
 
-def count_rows(m: Model) -> dict:
-  """Static constraint-row budget for a model (trace-time)."""
+class RowLayout(NamedTuple):
+  """Static efc row layout for a model."""
+  ne: int
+  nf: int
+  nl: int
+  ncon_rows: int
+  nefc: int
+  efc_type: np.ndarray   # (nefc,)
+  efc_id: np.ndarray     # (nefc,)
+
+
+def row_layout(m: Model, ncon_rows: int = 0) -> RowLayout:
+  """Computes the static constraint row budget and type/id tables."""
   flags = m.opt.disableflags
+  types, ids = [], []
   ne = nf = nl = 0
+
   if not (flags & DisableBit.CONSTRAINT):
     if not (flags & DisableBit.EQUALITY):
-      widths = {0: 3, 1: 6, 2: 1, 3: 1, 7: 1}  # EqType -> rows
-      ne = int(sum(widths.get(int(t), 0) for t in m.eq_type))
+      for i in range(m.neq):
+        rows = _EQ_ROWS.get(EqType(m.eq_type[i]))
+        if rows is None:
+          raise NotImplementedError(f"equality type {m.eq_type[i]}")
+        if m.eq_type[i] in (EqType.TENDON, EqType.DISTANCE):
+          raise NotImplementedError("tendon/distance equality: pending")
+        types += [ConstraintType.EQUALITY] * rows
+        ids += [i] * rows
+        ne += rows
     if not (flags & DisableBit.FRICTIONLOSS):
-      nf = int(np.sum(m.dof_frictionloss_nz))
+      for i in np.nonzero(m.dof_frictionloss_nz)[0]:
+        types.append(ConstraintType.FRICTION_DOF)
+        ids.append(int(i))
+        nf += 1
     if not (flags & DisableBit.LIMIT):
-      nl = int(np.sum(m.jnt_limited))
-  return dict(ne=ne, nf=nf, nl=nl)
+      for j in np.nonzero(m.jnt_limited)[0]:
+        t = JointType(m.jnt_type[j])
+        rows = 1 if t == JointType.BALL else 2
+        if t == JointType.FREE:
+          raise ValueError("free joints cannot be limited")
+        types += [ConstraintType.LIMIT_JOINT] * rows
+        ids += [int(j)] * rows
+        nl += rows
+
+  nefc = ne + nf + nl + ncon_rows
+  return RowLayout(
+      ne=ne, nf=nf, nl=nl, ncon_rows=ncon_rows, nefc=nefc,
+      efc_type=np.array(types + [ConstraintType.CONTACT_PYRAMIDAL] *
+                        ncon_rows, dtype=np.int32),
+      efc_id=np.array(ids + [0] * ncon_rows, dtype=np.int32),
+  )
+
+
+# kept for the smooth-path fast check used elsewhere
+def count_rows(m: Model) -> dict:
+  lay = row_layout(m)
+  return dict(ne=lay.ne, nf=lay.nf, nl=lay.nl)
 
 
 def _has_collidable_pairs(m: Model) -> bool:
@@ -73,27 +140,448 @@ def collision_stage(m: Model, d: Data) -> Data:
   return d
 
 
-def make_constraint(m: Model, d: Data) -> Data:
-  """Instantiates constraint rows (smooth fast path: zero rows)."""
-  counts = count_rows(m)
-  if counts["ne"] or counts["nf"] or counts["nl"]:
-    raise NotImplementedError(
-        "equality/friction/limit rows: pending constraint milestone"
+def _eq_rows(m: Model, d: Data, i: int):
+  """Jacobian + residual rows for one equality element (static index).
+
+  Follows ``mj_instantiateEquality`` (ref :493).  Returns (J, pos, active)
+  with J (rows, nv).
+  """
+  dtype = d.qpos.dtype
+  nv = m.nv
+  etype = EqType(m.eq_type[i])
+  data = m.eq_data[i]
+  active = d.eq_active[i]
+  o1, o2 = int(m.eq_obj1id[i]), int(m.eq_obj2id[i])
+  is_site = int(m.eq_objtype[i]) == ObjType.SITE
+
+  if etype in (EqType.CONNECT, EqType.WELD):
+    if is_site:
+      b1, b2 = int(m.site_bodyid[o1]), int(m.site_bodyid[o2])
+      pos1, pos2 = d.site_xpos[o1], d.site_xpos[o2]
+    else:
+      b1, b2 = o1, o2
+      if etype == EqType.CONNECT:
+        anchor1, anchor2 = data[0:3], data[3:6]
+      else:
+        anchor1, anchor2 = data[3:6], data[0:3]
+      pos1 = d.xmat[b1] @ anchor1 + d.xpos[b1]
+      pos2 = d.xmat[b2] @ anchor2 + d.xpos[b2]
+
+    jacp1, jacr1 = support.jac(m, d, pos1, b1)
+    jacp2, jacr2 = support.jac(m, d, pos2, b2)
+    jdifp = (jacp1 - jacp2).T            # (3, nv)
+    cpos = pos1 - pos2
+
+    if etype == EqType.CONNECT:
+      return jdifp, cpos, active
+
+    # WELD: add orientation rows
+    torquescale = data[10]
+    relpose = data[6:10]
+    if is_site:
+      q0 = math.quat_mul(d.xquat[b1], m.site_quat[o1])
+      q1 = math.quat_mul(d.xquat[b2], m.site_quat[o2])
+      quat = q0  # site semantics: relpose not used
+    else:
+      quat = math.quat_mul(d.xquat[b1], relpose)   # q0 * relpose
+      q1 = d.xquat[b2]
+    quat1 = math.quat_conj(q1)
+    crot = math.quat_mul(quat1, quat)[1:4] * torquescale
+
+    # rotation Jacobian: 0.5 * [neg(q1) * (jacr1-jacr2)_col * q0*relpose]
+    jdifr = jacr1 - jacr2                 # (nv, 3)
+    zeros = jnp.zeros((nv, 1), dtype=dtype)
+    axis_quat = jnp.concatenate([zeros, jdifr], axis=1)  # (nv, 4)
+    q2 = math.quat_mul(quat1[None, :], axis_quat)
+    q3 = math.quat_mul(q2, quat[None, :])
+    jrot = (0.5 * torquescale) * q3[:, 1:4].T  # (3, nv)
+
+    return (
+        jnp.concatenate([jdifp, jrot], axis=0),
+        jnp.concatenate([cpos, crot]),
+        active,
     )
-  return d
+
+  if etype == EqType.JOINT:
+    j1 = o1
+    p1 = d.qpos[m.jnt_qposadr[j1]]
+    r1 = m.qpos0[m.jnt_qposadr[j1]]
+    row = jnp.zeros((1, nv), dtype=dtype).at[0, m.jnt_dofadr[j1]].set(1.0)
+    if o2 >= 0:
+      p2 = d.qpos[m.jnt_qposadr[o2]]
+      r2 = m.qpos0[m.jnt_qposadr[o2]]
+      dif = p2 - r2
+      powers = jnp.stack([jnp.ones_like(dif), dif, dif**2, dif**3, dif**4])
+      cpos = p1 - r1 - jnp.dot(data[0:5], powers)
+      deriv = (
+          data[1] + 2 * data[2] * dif + 3 * data[3] * dif**2
+          + 4 * data[4] * dif**3
+      )
+      row = row.at[0, m.jnt_dofadr[o2]].add(-deriv)
+    else:
+      cpos = p1 - r1 - data[0]
+    return row, cpos[None], active
+
+  raise NotImplementedError(f"equality type {etype}")
+
+
+def _eq_diag_approx(m: Model, i: int) -> jax.Array:
+  """Per-row inverse-inertia approximation for one equality element
+  (ref ``mj_diagApprox``:1138)."""
+  etype = EqType(m.eq_type[i])
+  o1, o2 = int(m.eq_obj1id[i]), int(m.eq_obj2id[i])
+  if etype in (EqType.CONNECT, EqType.WELD):
+    if int(m.eq_objtype[i]) == ObjType.SITE:
+      b1, b2 = int(m.site_bodyid[o1]), int(m.site_bodyid[o2])
+    else:
+      b1, b2 = o1, o2
+    tran = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+    if etype == EqType.CONNECT:
+      return jnp.tile(tran, (3,))
+    rot = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+    return jnp.concatenate([jnp.tile(tran, (3,)), jnp.tile(rot, (3,))])
+  if etype == EqType.JOINT:
+    da = m.dof_invweight0[m.jnt_dofadr[o1]]
+    if o2 >= 0:
+      da = da + m.dof_invweight0[m.jnt_dofadr[o2]]
+    return da[None]
+  raise NotImplementedError(f"equality type {etype}")
+
+
+def _impedance(solimp: jax.Array, pos: jax.Array, margin: jax.Array):
+  """Constraint impedance and its derivative (ref ``getimpedance``:1441).
+
+  solimp = (dmin, dmax, width, midpoint, power); operates row-wise.
+  """
+  d0 = jnp.clip(solimp[:, 0], _MINIMP, _MAXIMP)
+  dmax = jnp.clip(solimp[:, 1], _MINIMP, _MAXIMP)
+  width = jnp.maximum(solimp[:, 2], 0.0)
+  mid = jnp.clip(solimp[:, 3], _MINIMP, _MAXIMP)
+  power = jnp.maximum(solimp[:, 4], 1.0)
+
+  flat = (d0 == dmax) | (width <= math.MINVAL)
+
+  x_raw = (pos - margin) / jnp.maximum(width, math.MINVAL)
+  sgn = jnp.where(x_raw < 0, -1.0, 1.0)
+  x = jnp.clip(jnp.abs(x_raw), 0.0, 1.0)
+
+  # spline y(x): a*x^p below midpoint, 1-b*(1-x)^p above
+  xm = jnp.maximum(x, math.MINVAL)
+  a = 1.0 / jnp.maximum(mid, math.MINVAL) ** (power - 1)
+  b = 1.0 / jnp.maximum(1 - mid, math.MINVAL) ** (power - 1)
+  y_lo = a * xm**power
+  yp_lo = power * a * xm ** (power - 1)
+  one_mx = jnp.maximum(1 - x, math.MINVAL)
+  y_hi = 1 - b * one_mx**power
+  yp_hi = power * b * one_mx ** (power - 1)
+
+  below = x <= mid
+  y = jnp.where(power == 1, x, jnp.where(below, y_lo, y_hi))
+  yp = jnp.where(power == 1, 1.0, jnp.where(below, yp_lo, yp_hi))
+
+  saturated = (jnp.abs(x_raw) >= 1) | (x <= 0)
+  y_sat = jnp.where(jnp.abs(x_raw) >= 1, 1.0, 0.0)
+
+  imp = jnp.where(saturated, d0 + y_sat * (dmax - d0), d0 + y * (dmax - d0))
+  impp = jnp.where(
+      saturated, 0.0,
+      yp * sgn * (dmax - d0) / jnp.maximum(width, math.MINVAL),
+  )
+  imp_flat = 0.5 * (d0 + dmax)
+  return jnp.where(flat, imp_flat, imp), jnp.where(flat, 0.0, impp)
+
+
+def _kbip(m: Model, solref: jax.Array, solimp: jax.Array, imp: jax.Array,
+          impp: jax.Array, is_friction: np.ndarray):
+  """Stiffness/damping per row (ref ``mj_makeImpedance``:1494)."""
+  ref0, ref1 = solref[:, 0], solref[:, 1]
+  if not (m.opt.disableflags & DisableBit.REFSAFE):
+    ref0 = jnp.where(ref0 > 0, jnp.maximum(ref0, 2 * m.opt.timestep), ref0)
+
+  dmax = jnp.clip(solimp[:, 1], _MINIMP, _MAXIMP)
+  k_std = 1.0 / jnp.maximum(
+      math.MINVAL, dmax**2 * ref0**2 * ref1**2
+  )
+  k_direct = -ref0 / jnp.maximum(math.MINVAL, dmax**2)
+  k = jnp.where(ref0 > 0, k_std, k_direct)
+  k = jnp.where(jnp.asarray(is_friction), 0.0, k)
+
+  b_std = 2.0 / jnp.maximum(math.MINVAL, dmax * ref0)
+  b_direct = -ref1 / jnp.maximum(math.MINVAL, dmax)
+  b = jnp.where(ref1 > 0, b_std, b_direct)
+
+  return jnp.stack([k, b, imp, impp], axis=1)
+
+
+def make_constraint(m: Model, d: Data) -> Data:
+  """Builds all constraint rows (analog ``mj_makeConstraint``:2005)."""
+  lay = row_layout(m)
+  dtype = d.qpos.dtype
+  nv = m.nv
+
+  if lay.nefc == 0:
+    z = jnp.zeros(0, dtype=dtype)
+    return d.replace(
+        ne=0, nf=0, nl=0, nefc=0,
+        efc_J=jnp.zeros((0, nv), dtype=dtype), efc_pos=z, efc_margin=z,
+        efc_frictionloss=z, efc_D=z, efc_R=z, efc_aref=z, efc_force=z,
+        efc_active=jnp.zeros(0, dtype=bool), efc_KBIP=jnp.zeros((0, 4),
+                                                               dtype=dtype),
+        efc_type=lay.efc_type, efc_id=lay.efc_id,
+    )
+
+  J_rows, pos_rows, margin_rows, floss_rows = [], [], [], []
+  active_rows, solref_rows, solimp_rows, diag_rows = [], [], [], []
+  zero = jnp.zeros((), dtype=dtype)
+
+  # --- equality rows ---
+  if lay.ne:
+    for i in range(m.neq):
+      Ji, pi, acti = _eq_rows(m, d, i)
+      rows = Ji.shape[0]
+      J_rows.append(Ji)
+      pos_rows.append(pi)
+      margin_rows.append(jnp.zeros(rows, dtype=dtype))
+      floss_rows.append(jnp.zeros(rows, dtype=dtype))
+      active_rows.append(jnp.tile(acti, (rows,)))
+      solref_rows.append(jnp.tile(m.eq_solref[i], (rows, 1)))
+      solimp_rows.append(jnp.tile(m.eq_solimp[i], (rows, 1)))
+      diag_rows.append(_eq_diag_approx(m, i))
+
+  # --- dof friction rows ---
+  if lay.nf:
+    fdofs = np.nonzero(m.dof_frictionloss_nz)[0]
+    eye = jnp.zeros((len(fdofs), nv), dtype=dtype)
+    eye = eye.at[np.arange(len(fdofs)), fdofs].set(1.0)
+    J_rows.append(eye)
+    pos_rows.append(jnp.zeros(len(fdofs), dtype=dtype))
+    margin_rows.append(jnp.zeros(len(fdofs), dtype=dtype))
+    floss_rows.append(m.dof_frictionloss[fdofs])
+    active_rows.append(jnp.ones(len(fdofs), dtype=bool))
+    solref_rows.append(m.dof_solref[fdofs])
+    solimp_rows.append(m.dof_solimp[fdofs])
+    diag_rows.append(m.dof_invweight0[fdofs])
+
+  # --- joint limit rows ---
+  if lay.nl:
+    for j in np.nonzero(m.jnt_limited)[0]:
+      t = JointType(m.jnt_type[j])
+      adr = m.jnt_dofadr[j]
+      margin = m.jnt_margin[j]
+      if t in (JointType.HINGE, JointType.SLIDE):
+        value = d.qpos[m.jnt_qposadr[j]]
+        for side, side_sign in ((0, -1.0), (1, 1.0)):
+          dist = side_sign * (m.jnt_range[j, side] - value)
+          act = dist < margin
+          row = jnp.zeros((1, nv), dtype=dtype).at[0, adr].set(-side_sign)
+          J_rows.append(row * act)
+          pos_rows.append(dist[None])
+          margin_rows.append(margin[None])
+          floss_rows.append(zero[None])
+          active_rows.append(act[None])
+          solref_rows.append(m.jnt_solref[j][None])
+          solimp_rows.append(m.jnt_solimp[j][None])
+          diag_rows.append(m.dof_invweight0[adr][None])
+      else:  # BALL: single row limiting total rotation angle
+        qidx = m.jnt_qposadr[j] + np.arange(4)
+        quat = math.normalize_quat(d.qpos[qidx])
+        axis_angle = math.quat_sub(
+            quat, jnp.asarray([1.0, 0, 0, 0], dtype=dtype)
+        )
+        angle = math.norm_safe(axis_angle)
+        axis = axis_angle / angle
+        dist = jnp.maximum(m.jnt_range[j, 0], m.jnt_range[j, 1]) - angle
+        act = dist < margin
+        row = jnp.zeros((1, nv), dtype=dtype)
+        row = row.at[0, adr + np.arange(3)].set(-axis)
+        J_rows.append(row * act)
+        pos_rows.append(dist[None])
+        margin_rows.append(margin[None])
+        floss_rows.append(zero[None])
+        active_rows.append(act[None])
+        solref_rows.append(m.jnt_solref[j][None])
+        solimp_rows.append(m.jnt_solimp[j][None])
+        diag_rows.append(m.dof_invweight0[adr][None])
+
+  efc_J = jnp.concatenate(J_rows, axis=0)
+  efc_pos = jnp.concatenate(pos_rows)
+  efc_margin = jnp.concatenate(margin_rows)
+  efc_floss = jnp.concatenate(floss_rows)
+  efc_active = jnp.concatenate(active_rows)
+  solref = jnp.concatenate(solref_rows, axis=0)
+  solimp = jnp.concatenate(solimp_rows, axis=0)
+  diag = jnp.concatenate(diag_rows)
+
+  # impedance position: connect/weld blocks share the norm of their
+  # residual vector (ref getposdim, engine_core_constraint.c:1392)
+  imp_pos = efc_pos
+  row = 0
+  for i in range(m.neq) if lay.ne else []:
+    etype = EqType(m.eq_type[i])
+    nrows = _EQ_ROWS[etype]
+    if etype in (EqType.CONNECT, EqType.WELD):
+      blk = math.norm_safe(
+          jax.lax.dynamic_slice(efc_pos, (row,), (nrows,))
+      )
+      imp_pos = jax.lax.dynamic_update_slice(
+          imp_pos, jnp.tile(blk, (nrows,)), (row,)
+      )
+    row += nrows
+
+  imp, impp = _impedance(solimp, imp_pos, efc_margin)
+  is_friction = lay.efc_type == ConstraintType.FRICTION_DOF
+  kbip = _kbip(m, solref, solimp, imp, impp, is_friction)
+
+  r = jnp.maximum(math.MINVAL, (1 - imp) * diag / imp)
+  dvec = jnp.where(efc_active, 1.0 / r, 0.0)
+
+  return d.replace(
+      ne=lay.ne, nf=lay.nf, nl=lay.nl, nefc=lay.nefc,
+      efc_J=efc_J * efc_active[:, None].astype(dtype),
+      efc_pos=efc_pos,
+      efc_margin=efc_margin,
+      efc_frictionloss=efc_floss,
+      efc_D=dvec,
+      efc_R=r,
+      efc_aref=jnp.zeros(lay.nefc, dtype=dtype),
+      efc_force=jnp.zeros(lay.nefc, dtype=dtype),
+      efc_active=efc_active,
+      efc_KBIP=kbip,
+      efc_type=lay.efc_type,
+      efc_id=lay.efc_id,
+  )
+
+
+def _eq_anchor(m: Model, d: Data, i: int, which: int):
+  """World anchor point + body id for one side of a connect/weld element."""
+  etype = EqType(m.eq_type[i])
+  data = m.eq_data[i]
+  oid = int((m.eq_obj1id, m.eq_obj2id)[which][i])
+  if int(m.eq_objtype[i]) == ObjType.SITE:
+    return int(m.site_bodyid[oid]), d.site_xpos[oid]
+  if etype == EqType.CONNECT:
+    anchor = data[0:3] if which == 0 else data[3:6]
+  else:  # WELD
+    anchor = data[3:6] if which == 0 else data[0:3]
+  return oid, d.xmat[oid] @ anchor + d.xpos[oid]
+
+
+def _eq_acc_bias(m: Model, d: Data, lay: RowLayout) -> jax.Array:
+  """Velocity-product acceleration bias for connect/weld rows.
+
+  The installed oracle subtracts the anchor-point acceleration bias
+  (J-dot q-dot, via ``mj_jacDot``) from aref for connect and weld
+  equality rows; rotational weld rows use the quaternion-product
+  derivative of the orientation residual.
+  """
+  dtype = d.qpos.dtype
+  bias = jnp.zeros(lay.nefc, dtype=dtype)
+  if not lay.ne:
+    return bias
+
+  row = 0
+  for i in range(m.neq):
+    etype = EqType(m.eq_type[i])
+    nrows = _EQ_ROWS[etype]
+    if etype not in (EqType.CONNECT, EqType.WELD):
+      row += nrows
+      continue
+
+    b1, p1 = _eq_anchor(m, d, i, 0)
+    b2, p2 = _eq_anchor(m, d, i, 1)
+    jp1d, jr1d = support.jac_dot(m, d, p1, b1)
+    jp2d, jr2d = support.jac_dot(m, d, p2, b2)
+    bias_t = (jp1d - jp2d).T @ d.qvel
+    bias = bias.at[row : row + 3].set(bias_t)
+
+    if etype == EqType.WELD:
+      # d/dt of the rotation residual Jacobian, contracted with qvel:
+      # r = ts * vec(conj(q2) * Q),  Q = q0 * relpose (or site quats)
+      data = m.eq_data[i]
+      ts = data[10]
+      o1, o2 = int(m.eq_obj1id[i]), int(m.eq_obj2id[i])
+      if int(m.eq_objtype[i]) == ObjType.SITE:
+        quat = math.quat_mul(d.xquat[b1], m.site_quat[o1])
+        q2 = math.quat_mul(d.xquat[b2], m.site_quat[o2])
+      else:
+        quat = math.quat_mul(d.xquat[b1], data[6:10])
+        q2 = d.xquat[b2]
+      q2c = math.quat_conj(q2)
+
+      _, jacr1 = support.jac(m, d, p1, b1)
+      _, jacr2 = support.jac(m, d, p2, b2)
+      wd = (jacr1 - jacr2).T @ d.qvel        # relative angular velocity
+      wd_dot = (jr1d - jr2d).T @ d.qvel      # its bias rate
+      w1, w2 = d.cvel[b1, :3], d.cvel[b2, :3]
+
+      pq = lambda w: jnp.concatenate([jnp.zeros(1, dtype=dtype), w])
+      term = 0.5 * (
+          0.5 * math.quat_mul(
+              math.quat_mul(math.quat_mul(q2c, pq(-w2)), pq(wd)), quat
+          )
+          + math.quat_mul(math.quat_mul(q2c, pq(wd_dot)), quat)
+          + 0.5 * math.quat_mul(
+              math.quat_mul(math.quat_mul(q2c, pq(wd)), pq(w1)), quat
+          )
+      )
+      bias = bias.at[row + 3 : row + 6].set(ts * term[1:4])
+
+    row += nrows
+
+  return bias
 
 
 def reference_constraint(m: Model, d: Data) -> Data:
-  """Constraint reference accelerations aref (ref
-  ``mj_referenceConstraint``, engine_core_constraint.c:2362)."""
+  """aref = -B*vel - K*imp*(pos - margin) - bias (ref :2362)."""
   if d.nefc == 0:
     return d
-  raise NotImplementedError("pending constraint milestone")
+  lay = row_layout(m)
+  vel = d.efc_J @ d.qvel
+  k, b, imp = d.efc_KBIP[:, 0], d.efc_KBIP[:, 1], d.efc_KBIP[:, 2]
+  bias = _eq_acc_bias(m, d, lay)
+  aref = -b * vel - k * imp * (d.efc_pos - d.efc_margin) - bias
+  return d.replace(efc_aref=aref * d.efc_active)
 
 
-def constraint_update(m: Model, d: Data, jar):
-  """State-dependent constraint force update (ref ``mj_constraintUpdate``,
-  engine_core_constraint.c:2556)."""
-  if d.nefc == 0:
-    return d.replace(qfrc_constraint=jnp.zeros_like(d.qfrc_constraint))
-  raise NotImplementedError("pending constraint milestone")
+def constraint_update(m: Model, d: Data, jar: jax.Array,
+                      with_cost: bool = False):
+  """State-dependent force update (ref ``mj_constraintUpdate``:2556).
+
+  Given jar = J qacc - aref, computes efc_force, qfrc_constraint and
+  (optionally) the constraint cost.  Pyramidal/frictionless rows only;
+  elliptic cones arrive with the contact milestone.
+  """
+  ne, nf = d.ne, d.nf
+  D, R, floss = d.efc_D, d.efc_R, d.efc_frictionloss
+
+  # default: quadratic zone force
+  force = -D * jar
+
+  # active set: equality rows always; friction in quadratic band;
+  # inequality rows (limits, contacts) only in penetration (jar < 0)
+  idx = np.arange(d.nefc)
+  is_eq = jnp.asarray(idx < ne)
+  is_fri = jnp.asarray((idx >= ne) & (idx < ne + nf))
+  lin_neg = is_fri & (jar <= -R * floss)
+  lin_pos = is_fri & (jar >= R * floss)
+  quad = is_eq | (is_fri & ~lin_neg & ~lin_pos) | (~is_eq & ~is_fri & (jar < 0))
+
+  force = jnp.where(lin_neg, floss, force)
+  force = jnp.where(lin_pos, -floss, force)
+  force = jnp.where(quad | lin_neg | lin_pos, force, 0.0)
+  force = force * d.efc_active
+
+  qfrc = d.efc_J.T @ force
+  d = d.replace(efc_force=force, qfrc_constraint=qfrc)
+
+  if not with_cost:
+    return d, None
+
+  cost = 0.5 * jnp.sum(jnp.where(quad, D * jar * jar, 0.0))
+  cost += jnp.sum(
+      jnp.where(lin_neg, -0.5 * R * floss**2 - floss * jar, 0.0)
+  )
+  cost += jnp.sum(
+      jnp.where(lin_pos, -0.5 * R * floss**2 + floss * jar, 0.0)
+  )
+  return d, cost

@@ -81,7 +81,8 @@ def inv_constraint(m: Model, d: Data) -> Data:
     return d.replace(qfrc_constraint=jnp.zeros_like(d.qfrc_constraint))
   # jar = J qacc - aref; then the analytic constraint force update
   jar = d.efc_J @ d.qacc - d.efc_aref
-  return constraint_mod.constraint_update(m, d, jar)
+  d, _ = constraint_mod.constraint_update(m, d, jar)
+  return d
 
 
 def inverse(m: Model, d: Data, skip_sensor: bool = True) -> Data:

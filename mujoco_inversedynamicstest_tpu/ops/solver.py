@@ -1,16 +1,300 @@
-"""Constraint solvers (CG / Newton) — analog of ``src/engine/engine_solver.c``.
+"""Constraint solvers: primal Newton and Polak-Ribière NCG.
 
-This module currently implements the smooth fast path (no constraint rows:
-``qacc = qacc_smooth``, ref ``mj_fwdConstraint`` early-exit at
-``engine_forward.c:654``).  The CG/Newton solvers with ``lax.while_loop``
-and exact quartic line search land with the constraint milestone.
+Analog of ``src/engine/engine_solver.c`` (``mj_solCG``:1896,
+``mj_solNewton``:1910, line search ``CGsearch``:1204) re-derived for XLA:
+the solve minimizes the convex primal cost
+
+    cost(qacc) = 0.5 (qacc - qacc_smooth)' M (qacc - qacc_smooth)
+                 + sum_i s_i(J_i qacc - aref_i)
+
+over accelerations, with s_i the per-row piecewise-quadratic constraint
+penalty.  Everything is fixed-shape: the iteration is a
+``lax.while_loop``, the exact 1-D line search is a bracketed safeguarded
+Newton on the piecewise-quadratic directional derivative (a scan with a
+fixed iteration budget).  The Newton Hessian ``M + J' diag(D·active) J`` is
+one MXU matmul + dense Cholesky per iteration.
+
+Supports pyramidal/frictionless rows and dof friction; elliptic cone
+terms arrive with the contact milestone.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from typing import NamedTuple
 
-from mujoco_inversedynamicstest_tpu.models.types import Data, Model
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import (
+    Data,
+    DisableBit,
+    Model,
+    SolverType,
+)
+from mujoco_inversedynamicstest_tpu.ops import math, smooth
+
+_MINVAL = math.MINVAL
+
+
+class _State(NamedTuple):
+  """Solver iterate."""
+  qacc: jnp.ndarray
+  Ma: jnp.ndarray            # M @ qacc
+  jaref: jnp.ndarray         # J @ qacc - aref
+  efc_force: jnp.ndarray
+  qfrc_constraint: jnp.ndarray
+  quad_mask: jnp.ndarray     # rows currently in the quadratic zone
+  cost: jnp.ndarray
+  prev_cost: jnp.ndarray
+  grad: jnp.ndarray
+  mgrad: jnp.ndarray         # preconditioned gradient
+  search: jnp.ndarray
+  niter: jnp.ndarray
+
+
+def _row_zones(d: Data, jar: jnp.ndarray):
+  """Per-row zone classification given jar = J qacc - aref.
+
+  Returns (quad, lin_neg, lin_pos): equality rows are always quadratic,
+  friction rows saturate at +-frictionloss, inequality rows are active
+  only in penetration (ref ``mj_constraintUpdate``:2556).
+  """
+  idx = np.arange(d.nefc)
+  is_eq = jnp.asarray(idx < d.ne)
+  is_fri = jnp.asarray((idx >= d.ne) & (idx < d.ne + d.nf))
+  rf = d.efc_R * d.efc_frictionloss
+  lin_neg = is_fri & (jar <= -rf)
+  lin_pos = is_fri & (jar >= rf)
+  quad = is_eq | (is_fri & ~lin_neg & ~lin_pos) | (
+      ~is_eq & ~is_fri & (jar < 0)
+  )
+  return quad, lin_neg, lin_pos
+
+
+def _forces_and_cost(d: Data, jar: jnp.ndarray):
+  """Constraint forces + penalty cost at jar."""
+  quad, lin_neg, lin_pos = _row_zones(d, jar)
+  floss = d.efc_frictionloss
+  force = jnp.where(quad, -d.efc_D * jar, 0.0)
+  force = jnp.where(lin_neg, floss, force)
+  force = jnp.where(lin_pos, -floss, force)
+  force = force * d.efc_active
+
+  cost = 0.5 * jnp.sum(jnp.where(quad, d.efc_D * jar * jar, 0.0))
+  rf2 = 0.5 * d.efc_R * floss * floss
+  cost += jnp.sum(jnp.where(lin_neg, -rf2 - floss * jar, 0.0))
+  cost += jnp.sum(jnp.where(lin_pos, -rf2 + floss * jar, 0.0))
+  return force, cost, quad
+
+
+def _gauss_cost(d: Data, qacc, ma):
+  return 0.5 * jnp.dot(ma - d.qfrc_smooth, qacc - d.qacc_smooth)
+
+
+def _eval_state(m: Model, d: Data, qacc, with_grad: bool) -> _State:
+  ma = smooth.mul_m(m, d, qacc)
+  jaref = d.efc_J @ qacc - d.efc_aref
+  force, ccost, quad = _forces_and_cost(d, jaref)
+  qfrc = d.efc_J.T @ force
+  cost = ccost + _gauss_cost(d, qacc, ma)
+  nv0 = jnp.zeros_like(qacc)
+  st = _State(
+      qacc=qacc, Ma=ma, jaref=jaref, efc_force=force,
+      qfrc_constraint=qfrc, quad_mask=quad, cost=cost,
+      prev_cost=jnp.asarray(jnp.inf, dtype=qacc.dtype),
+      grad=nv0, mgrad=nv0, search=nv0,
+      niter=jnp.asarray(0, dtype=jnp.int32),
+  )
+  if with_grad:
+    st = _refresh_gradient(m, d, st)
+    st = st._replace(search=-st.mgrad)
+  return st
+
+
+def _refresh_gradient(m: Model, d: Data, st: _State) -> _State:
+  """grad = M qacc - qfrc_smooth - qfrc_constraint; precondition.
+
+  Newton preconditions with the exact constraint Hessian
+  ``M + J' diag(D·quad) J`` (ref ``MakeHessian``/``FactorizeHessian``,
+  engine_solver.c:1387/1501); CG with M itself.
+  """
+  grad = st.Ma - d.qfrc_smooth - st.qfrc_constraint
+  if m.opt.solver == SolverType.NEWTON:
+    dd = d.efc_D * st.quad_mask
+    hess = d.qM + (d.efc_J.T * dd) @ d.efc_J
+    chol = jnp.linalg.cholesky(hess)
+    mgrad = jax.scipy.linalg.cho_solve((chol, True), grad)
+  else:
+    mgrad = smooth.solve_m(m, d, grad)
+  return st._replace(grad=grad, mgrad=mgrad)
+
+
+class _LSPoint(NamedTuple):
+  alpha: jnp.ndarray
+  cost: jnp.ndarray
+  d0: jnp.ndarray   # phi'(alpha)
+  d1: jnp.ndarray   # phi''(alpha)
+
+
+def _linesearch(m: Model, d: Data, st: _State) -> _State:
+  """Exact line search along ``st.search`` (ref ``CGsearch``:1204).
+
+  phi(alpha) is piecewise quadratic (zones change with alpha); we run a
+  fixed budget of safeguarded-Newton bracket updates on phi'.
+  """
+  dtype = st.qacc.dtype
+  mv = smooth.mul_m(m, d, st.search)
+  jv = d.efc_J @ st.search
+
+  gauss0 = _gauss_cost(d, st.qacc, st.Ma)
+  quad_gauss = jnp.stack([
+      gauss0,
+      jnp.dot(st.search, st.Ma - d.qfrc_smooth),
+      0.5 * jnp.dot(st.search, mv),
+  ])
+  # per-row quadratics of 0.5*D*(jaref + alpha jv)^2
+  quad_rows = jnp.stack([
+      0.5 * d.efc_D * st.jaref * st.jaref,
+      d.efc_D * jv * st.jaref,
+      0.5 * d.efc_D * jv * jv,
+  ], axis=1)  # (nefc, 3)
+
+  idx = np.arange(d.nefc)
+  is_fri = jnp.asarray((idx >= d.ne) & (idx < d.ne + d.nf))
+  floss = d.efc_frictionloss
+  rf = d.efc_R * floss
+
+  def phi(alpha):
+    x = st.jaref + alpha * jv
+    quad, lin_neg, lin_pos = _row_zones(d, x)
+    # rows in quadratic zone contribute their quadratic; friction rows in
+    # the linear zones contribute affine terms
+    rows = jnp.where(quad[:, None], quad_rows, 0.0)
+    neg_terms = jnp.stack([
+        -0.5 * rf * floss - floss * st.jaref, -floss * jv,
+        jnp.zeros_like(jv),
+    ], axis=1)
+    pos_terms = jnp.stack([
+        -0.5 * rf * floss + floss * st.jaref, floss * jv,
+        jnp.zeros_like(jv),
+    ], axis=1)
+    rows = jnp.where(lin_neg[:, None], neg_terms, rows)
+    rows = jnp.where(lin_pos[:, None], pos_terms, rows)
+    total = quad_gauss + jnp.sum(rows, axis=0)
+    cost = total[0] + alpha * total[1] + alpha * alpha * total[2]
+    d0 = total[1] + 2 * alpha * total[2]
+    d1 = 2 * total[2] + (total[2] == 0) * _MINVAL
+    return _LSPoint(alpha=alpha, cost=cost, d0=d0, d1=d1)
+
+  smag = math.norm_safe(st.search) * m.stat_meaninertia * max(1, m.nv)
+  gtol = m.opt.tolerance * m.opt.ls_tolerance * smag
+
+  p0 = phi(jnp.asarray(0.0, dtype=dtype))
+  pn = phi(p0.alpha - p0.d0 / p0.d1)
+  pick_pn = pn.d0 < p0.d0
+  lo = jax.tree.map(lambda a, b: jnp.where(pick_pn, b, a), p0, pn)
+  hi = jax.tree.map(lambda a, b: jnp.where(pick_pn, a, b), p0, pn)
+
+  def ls_body(carry, _):
+    lo, hi, live = carry
+
+    cand_lo = phi(lo.alpha - lo.d0 / lo.d1)
+    cand_hi = phi(hi.alpha - hi.d0 / hi.d1)
+    cand_mid = phi(0.5 * (lo.alpha + hi.alpha))
+
+    def shrinks(cur_d0, new_d0):
+      # candidate tightens the bracket if its derivative lies strictly
+      # between the current endpoint derivative and zero
+      return ((cur_d0 < new_d0) & (new_d0 < 0)) | (
+          (cur_d0 > new_d0) & (new_d0 > 0)
+      )
+
+    moved = jnp.asarray(False)
+    for cand in (cand_lo, cand_mid, cand_hi):
+      take_lo = shrinks(lo.d0, cand.d0) & live
+      lo = jax.tree.map(lambda a, b, t=take_lo: jnp.where(t, b, a), lo, cand)
+      moved = moved | take_lo
+    for cand in (cand_hi, cand_mid, cand_lo):
+      take_hi = shrinks(hi.d0, cand.d0) & live
+      hi = jax.tree.map(lambda a, b, t=take_hi: jnp.where(t, b, a), hi, cand)
+      moved = moved | take_hi
+
+    done = ~moved
+    done |= (lo.d0 < 0) & (lo.d0 > -gtol)
+    done |= (hi.d0 > 0) & (hi.d0 < gtol)
+    return (lo, hi, live & ~done), None
+
+  (lo, hi, _), _ = jax.lax.scan(
+      ls_body, (lo, hi, jnp.asarray(True)), None,
+      length=max(1, m.opt.ls_iterations),
+  )
+
+  improved = (lo.cost < p0.cost) | (hi.cost < p0.cost)
+  alpha = jnp.where(lo.cost < hi.cost, lo.alpha, hi.alpha) * improved
+
+  return st._replace(
+      qacc=st.qacc + alpha * st.search,
+      Ma=st.Ma + alpha * mv,
+      jaref=st.jaref + alpha * jv,
+  )
+
+
+def solve(m: Model, d: Data) -> Data:
+  """Main solver loop (ref ``mj_solNewton``:1910 / ``mj_solCG``:1896)."""
+  dtype = d.qacc_smooth.dtype
+
+  # warmstart: best of (qacc_warmstart, qacc_smooth)
+  # (ref warmstart(), engine_forward.c:536)
+  if not (m.opt.disableflags & DisableBit.WARMSTART):
+    warm = _eval_state(m, d, d.qacc_warmstart, with_grad=False)
+    smth = _eval_state(m, d, d.qacc_smooth, with_grad=False)
+    qacc0 = jnp.where(warm.cost < smth.cost, d.qacc_warmstart, d.qacc_smooth)
+  else:
+    qacc0 = d.qacc_smooth
+
+  st = _eval_state(m, d, qacc0, with_grad=True)
+
+  def converged(st: _State):
+    scale = m.stat_meaninertia * max(1, m.nv)
+    improvement = (st.prev_cost - st.cost) / scale
+    gradient = math.norm_safe(st.grad) / scale
+    done = st.niter >= m.opt.iterations
+    done |= improvement < m.opt.tolerance
+    done |= gradient < m.opt.tolerance
+    return ~done
+
+  def iterate(st: _State) -> _State:
+    st = _linesearch(m, d, st)
+    prev_grad, prev_mgrad, prev_cost = st.grad, st.mgrad, st.cost
+    force, ccost, quad = _forces_and_cost(d, st.jaref)
+    qfrc = d.efc_J.T @ force
+    cost = ccost + _gauss_cost(d, st.qacc, st.Ma)
+    st = st._replace(
+        efc_force=force, qfrc_constraint=qfrc, quad_mask=quad,
+        cost=cost, prev_cost=prev_cost,
+    )
+    st = _refresh_gradient(m, d, st)
+    if m.opt.solver == SolverType.NEWTON:
+      search = -st.mgrad
+    else:  # Polak-Ribière nonlinear CG
+      beta = jnp.dot(st.grad, st.mgrad - prev_mgrad)
+      beta = beta / jnp.maximum(_MINVAL, jnp.dot(prev_grad, prev_mgrad))
+      search = -st.mgrad + jnp.maximum(0.0, beta) * st.search
+    return st._replace(search=search, niter=st.niter + 1)
+
+  if m.opt.iterations == 1:
+    st = iterate(st)
+  else:
+    st = jax.lax.while_loop(converged, iterate, st)
+
+  return d.replace(
+      qacc=st.qacc,
+      qacc_warmstart=st.qacc,
+      qfrc_constraint=st.qfrc_constraint,
+      efc_force=st.efc_force,
+      solver_niter=st.niter,
+  )
 
 
 def fwd_constraint(m: Model, d: Data) -> Data:
@@ -21,4 +305,8 @@ def fwd_constraint(m: Model, d: Data) -> Data:
         qfrc_constraint=jnp.zeros_like(d.qfrc_constraint),
         qacc_warmstart=d.qacc_smooth,
     )
-  raise NotImplementedError("pending solver milestone")
+  if m.opt.solver == SolverType.PGS:
+    raise NotImplementedError(
+        "PGS solver: use CG or NEWTON (the TPU-native primal solvers)"
+    )
+  return solve(m, d)

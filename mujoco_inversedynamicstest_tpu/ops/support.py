@@ -46,6 +46,48 @@ def jac_all_bodies(m: Model, d: Data, points: jax.Array):
   return jacp, jacr
 
 
+def _quat_dof_mask(m: Model) -> np.ndarray:
+  """Static mask of rotational dofs belonging to ball/free-rotation joints."""
+  jt = m.jnt_type[m.dof_jntid]
+  dof_off = np.arange(m.nv) - m.jnt_dofadr[m.dof_jntid]
+  return (jt == JointType.BALL) | (
+      (jt == JointType.FREE) & (dof_off >= 3)
+  )
+
+
+def jac_dot(m: Model, d: Data, point: jax.Array, body: int):
+  """Time-derivative of the point Jacobian for a *body-fixed* point.
+
+  Analog of ``mj_jacDot`` (reference ``engine_support.c:810``; the
+  installed oracle's variant, reverse-engineered to machine precision):
+  per-dof ``cdof_dot`` — except quaternion (ball / free-rotation) dofs,
+  which use ``cvel x_m cdof`` with the carrying body's full velocity —
+  plus, in the translation rows, the moving-point term
+  ``cdof_ang x v_point``.
+  """
+  mask = jnp.asarray(m.tree.body_dof_mask)[body].astype(point.dtype)
+  offset = point - d.subtree_com[jnp.asarray(m.body_rootid)[body]]
+
+  quat_dof = jnp.asarray(_quat_dof_mask(m))[:, None]
+  cdd = jnp.where(
+      quat_dof,
+      math.motion_cross(d.cvel[m.dof_bodyid], d.cdof),
+      d.cdof_dot,
+  )
+  ang, lin = cdd[:, :3], cdd[:, 3:]
+
+  # velocity of the body-fixed point
+  cv = d.cvel[body]
+  v_point = cv[3:] + jnp.cross(cv[:3], offset)
+
+  jacp_dot = (
+      lin
+      + jnp.cross(ang, jnp.broadcast_to(offset, ang.shape))
+      + jnp.cross(d.cdof[:, :3], jnp.broadcast_to(v_point, ang.shape))
+  )
+  return jacp_dot * mask[:, None], ang * mask[:, None]
+
+
 def apply_ft(m: Model, d: Data, force: jax.Array, torque: jax.Array,
              point: jax.Array, body: int) -> jax.Array:
   """Generalized force from a Cartesian force/torque at a body point.
