@@ -273,6 +273,8 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       tendon_margin=_jx(mjm.tendon_margin, dtype),
       tendon_solref_lim=_jx(mjm.tendon_solref_lim, dtype),
       tendon_solimp_lim=_jx(mjm.tendon_solimp_lim, dtype),
+      tendon_solref_fri=_jx(mjm.tendon_solref_fri, dtype),
+      tendon_solimp_fri=_jx(mjm.tendon_solimp_fri, dtype),
       wrap_prm=_jx(mjm.wrap_prm, dtype),
       tendon_adr=_np(mjm.tendon_adr),
       tendon_num=_np(mjm.tendon_num),
@@ -304,6 +306,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       exclude_signature=_np(mjm.exclude_signature),
       has_dof_damping=bool(np.any(_np(mjm.dof_damping) > 0)),
       dof_frictionloss_nz=_np(mjm.dof_frictionloss) > 0,
+      tendon_frictionloss_nz=_np(mjm.tendon_frictionloss) > 0,
       _source=mjm if _keep_source else None,
   )
 
@@ -326,6 +329,7 @@ def make_data(m: Model, dtype=None) -> Data:
   ``src/engine/engine_io.c:1403``): qpos = qpos0, everything else zero,
   with static shapes derived from the model.
   """
+  from mujoco_inversedynamicstest_tpu.ops.collision import alloc_contact
   from mujoco_inversedynamicstest_tpu.ops.constraint import row_layout
 
   dtype = dtype or m.dtype
@@ -391,7 +395,7 @@ def make_data(m: Model, dtype=None) -> Data:
       qfrc_constraint=z(nv),
       qacc=z(nv),
       qfrc_inverse=z(nv),
-      contact=None,
+      contact=alloc_contact(m, dtype),
       ne=lay.ne,
       nf=lay.nf,
       nl=lay.nl,

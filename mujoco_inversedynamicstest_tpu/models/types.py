@@ -434,6 +434,8 @@ class Model:
   tendon_margin: jax.Array = None        # (ntendon,)
   tendon_solref_lim: jax.Array = None    # (ntendon, 2)
   tendon_solimp_lim: jax.Array = None    # (ntendon, 5)
+  tendon_solref_fri: jax.Array = None    # (ntendon, 2)
+  tendon_solimp_fri: jax.Array = None    # (ntendon, 5)
   wrap_prm: jax.Array = None             # (nwrap,)
   tendon_adr: np.ndarray = static_field(default=None)
   tendon_num: np.ndarray = static_field(default=None)
@@ -475,8 +477,9 @@ class Model:
 
   # trace-time specialization hints derived from the compiled model
   has_dof_damping: bool = static_field(default=False)
-  # static nonzero pattern of dof_frictionloss (constraint row budgeting)
+  # static nonzero pattern of dof/tendon frictionloss (row budgeting)
   dof_frictionloss_nz: np.ndarray = static_field(default=None)
+  tendon_frictionloss_nz: np.ndarray = static_field(default=None)
 
   # host-only handle to the source mujoco.MjModel (not traced, not hashed
   # into jit keys beyond identity) for interop/testing.

@@ -1,0 +1,521 @@
+"""Collision detection: static pair table + vectorized narrowphase.
+
+Analog of the reference collision driver and primitive narrowphase
+(``src/engine/engine_collision_driver.c``: ``mj_collision``:265, parameter
+mixing ``mj_contactParam``:1289, ``mj_setContact``:1387;
+``src/engine/engine_collision_primitive.c``: ``mjraw_PlaneSphere``:28,
+``mjc_PlaneCapsule``:65, ``mjc_PlaneBox``:200, ``mjraw_SphereSphere``:249,
+``mjraw_SphereCapsule``:296, ``mjraw_CapsuleCapsule``:398;
+``engine_collision_box.c``: ``mjraw_SphereBox``:39).
+
+TPU-first re-design: the candidate pair set is enumerated *statically* at
+trace time from contype/conaffinity masks, body-pair filters, explicit
+``<pair>`` and ``<exclude>`` elements (the reference's dynamic broadphase
+culls the same set at runtime; with static shapes, culling is expressed by
+the per-contact activity mask instead).  Pairs are grouped by geom-type
+signature and each group runs one vmapped narrowphase kernel.  Every
+contact slot exists every step; ``dist >= includemargin`` marks it
+inactive (the reference's ``exclude``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import (
+    Contact,
+    Data,
+    DisableBit,
+    GeomType,
+    Model,
+)
+from mujoco_inversedynamicstest_tpu.ops import math
+
+# contact slots per supported (type1, type2) pair
+_PAIR_SLOTS = {
+    (GeomType.PLANE, GeomType.SPHERE): 1,
+    (GeomType.PLANE, GeomType.CAPSULE): 2,
+    (GeomType.PLANE, GeomType.BOX): 4,
+    (GeomType.SPHERE, GeomType.SPHERE): 1,
+    (GeomType.SPHERE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.BOX): 1,
+    (GeomType.CAPSULE, GeomType.CAPSULE): 1,
+}
+
+
+class PairGroup(NamedTuple):
+  """A batch of same-type geom pairs (static)."""
+  types: Tuple[int, int]
+  geom1: np.ndarray      # (npair,)
+  geom2: np.ndarray      # (npair,)
+  ipair: np.ndarray      # (npair,) index into m.pair_* or -1
+  nslot: int
+
+
+class ContactLayout(NamedTuple):
+  """Static contact-slot layout for a model."""
+  groups: Tuple[PairGroup, ...]
+  ncon: int
+  # per-slot static tables, length ncon:
+  geom1: np.ndarray
+  geom2: np.ndarray
+  dim: np.ndarray        # condim per slot
+  efc_address: np.ndarray
+
+
+def _mix_condim(m: Model, g1: int, g2: int) -> int:
+  p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+  if p1 > p2:
+    return int(m.geom_condim[g1])
+  if p2 > p1:
+    return int(m.geom_condim[g2])
+  return int(max(m.geom_condim[g1], m.geom_condim[g2]))
+
+
+def contact_layout(m: Model) -> ContactLayout:
+  """Enumerates the static candidate pair set and contact slots."""
+  if m.opt.disableflags & (DisableBit.CONTACT | DisableBit.CONSTRAINT):
+    return ContactLayout(
+        groups=(), ncon=0,
+        geom1=np.zeros(0, np.int32), geom2=np.zeros(0, np.int32),
+        dim=np.zeros(0, np.int32), efc_address=np.zeros(0, np.int32),
+    )
+
+  exclude = set()
+  for sig in m.exclude_signature:
+    exclude.add((int(sig) >> 16, int(sig) & 0xFFFF))
+
+  raw = []  # (g1, g2, ipair, condim)
+  # explicit <pair> elements take their own parameters
+  for k in range(len(m.pair_geom1)):
+    raw.append((int(m.pair_geom1[k]), int(m.pair_geom2[k]), k,
+                int(m.pair_dim[k])))
+
+  # auto-generated pairs
+  explicit = {(a, b) for a, b, _, _ in raw} | {
+      (b, a) for a, b, _, _ in raw
+  }
+  for g1 in range(m.ngeom):
+    for g2 in range(g1 + 1, m.ngeom):
+      if (g1, g2) in explicit:
+        continue
+      b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+      if b1 == b2:
+        continue
+      w1, w2 = int(m.body_weldid[b1]), int(m.body_weldid[b2])
+      if w1 == w2:
+        continue
+      if (w1, w2) in exclude or (w2, w1) in exclude:
+        continue
+      # parent-child filter on weld parents (world exempt)
+      pw1 = int(m.body_weldid[m.body_parentid[w1]])
+      pw2 = int(m.body_weldid[m.body_parentid[w2]])
+      parent_child = (w1 == pw2 and w1 != 0) or (w2 == pw1 and w2 != 0)
+      if parent_child and not (
+          m.opt.disableflags & DisableBit.FILTERPARENT
+      ):
+        continue
+      t1 = m.geom_contype[g1] & m.geom_conaffinity[g2]
+      t2 = m.geom_contype[g2] & m.geom_conaffinity[g1]
+      if not (t1 or t2):
+        continue
+      raw.append((g1, g2, -1, _mix_condim(m, g1, g2)))
+
+  # canonical order: smaller geom type first
+  ordered = []
+  for g1, g2, ip, condim in raw:
+    if m.geom_type[g1] > m.geom_type[g2]:
+      g1, g2 = g2, g1
+    key = (int(m.geom_type[g1]), int(m.geom_type[g2]))
+    if key not in _PAIR_SLOTS:
+      raise NotImplementedError(
+          f"collision pair {GeomType(key[0]).name}-{GeomType(key[1]).name} "
+          "not yet supported"
+      )
+    ordered.append((key, g1, g2, ip, condim))
+
+  # group by type signature
+  groups = []
+  slot_g1, slot_g2, slot_dim = [], [], []
+  by_key = {}
+  for key, g1, g2, ip, condim in ordered:
+    by_key.setdefault(key, []).append((g1, g2, ip, condim))
+  for key in sorted(by_key):
+    entries = by_key[key]
+    nslot = _PAIR_SLOTS[key]
+    groups.append(PairGroup(
+        types=key,
+        geom1=np.array([e[0] for e in entries], np.int32),
+        geom2=np.array([e[1] for e in entries], np.int32),
+        ipair=np.array([e[2] for e in entries], np.int32),
+        nslot=nslot,
+    ))
+    for g1, g2, ip, condim in entries:
+      slot_g1 += [g1] * nslot
+      slot_g2 += [g2] * nslot
+      slot_dim += [condim] * nslot
+
+  dim = np.array(slot_dim, np.int32)
+  efc_address = np.zeros(len(dim), np.int32)
+  adr = 0
+  for i, c in enumerate(dim):
+    efc_address[i] = adr
+    adr += 1 if c == 1 else 2 * (c - 1)
+
+  return ContactLayout(
+      groups=tuple(groups),
+      ncon=len(dim),
+      geom1=np.array(slot_g1, np.int32),
+      geom2=np.array(slot_g2, np.int32),
+      dim=dim,
+      efc_address=efc_address,
+  )
+
+
+def ncon_rows(m: Model) -> int:
+  """Total pyramidal efc rows implied by the contact layout."""
+  lay = contact_layout(m)
+  return int(sum(1 if c == 1 else 2 * (c - 1) for c in lay.dim))
+
+
+def make_frame(normal: jax.Array, yhint: jax.Array) -> jax.Array:
+  """Completes a contact frame from its normal (ref ``mju_makeFrame``,
+  engine_util_spatial.c:526).  Rows are [normal, tan1, tan2]."""
+  n = math.normalize(normal)
+  have_hint = math.norm_safe(yhint) >= 0.5
+  y_default = jnp.where(
+      (jnp.abs(n[..., 1:2]) < 0.5),
+      jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype), n.shape),
+      jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], n.dtype), n.shape),
+  )
+  y = jnp.where(have_hint[..., None], yhint, y_default)
+  y = y - n * jnp.sum(n * y, axis=-1, keepdims=True)
+  y = math.normalize(y)
+  z = jnp.cross(n, y)
+  return jnp.stack([n, y, z], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Narrowphase kernels.  Each takes (pos1, mat1, size1, pos2, mat2, size2,
+# margin) for ONE pair and returns (dist, pos, normal, yhint) arrays with a
+# fixed slot count; empty slots have dist = +large.
+# ---------------------------------------------------------------------------
+
+_BIG = 1e10
+
+
+def _plane_sphere_raw(pn, nrm, ps, r):
+  dist = jnp.dot(ps - pn, nrm) - r
+  pos = ps - nrm * (r + 0.5 * dist)
+  return dist, pos
+
+
+def _plane_sphere(p1, m1, s1, p2, m2, s2, margin):
+  nrm = m1[:, 2]
+  dist, pos = _plane_sphere_raw(p1, nrm, p2, s2[0])
+  z = jnp.zeros(3, dtype=p1.dtype)
+  return dist[None], pos[None], nrm[None], z[None]
+
+
+def _plane_capsule(p1, m1, s1, p2, m2, s2, margin):
+  nrm = m1[:, 2]
+  axis = m2[:, 2]
+  seg = axis * s2[1]
+  d1, c1 = _plane_sphere_raw(p1, nrm, p2 + seg, s2[0])
+  d2, c2 = _plane_sphere_raw(p1, nrm, p2 - seg, s2[0])
+  dist = jnp.stack([d1, d2])
+  pos = jnp.stack([c1, c2])
+  n = jnp.stack([nrm, nrm])
+  yhint = jnp.stack([axis, axis])
+  return dist, pos, n, yhint
+
+
+def _plane_box(p1, m1, s1, p2, m2, s2, margin):
+  nrm = m1[:, 2]
+  dist0 = jnp.dot(p2 - p1, nrm)
+  # all 8 corners; keep the 4 with the smallest plane distance among those
+  # pointing down (ref mjc_PlaneBox:200 keeps <= 4 bottom corners)
+  signs = jnp.asarray(
+      [[(1.0 if i & 1 else -1.0), (1.0 if i & 2 else -1.0),
+        (1.0 if i & 4 else -1.0)] for i in range(8)], dtype=p1.dtype
+  )
+  corners_local = signs * s2[None, :]
+  corners = corners_local @ m2.T                   # (8, 3) rel. to center
+  ldist = corners @ nrm                             # (8,)
+  cdist = dist0 + ldist
+  valid = (ldist <= 0) & (cdist <= margin)
+  score = jnp.where(valid, cdist, _BIG)
+  _, idx = jax.lax.top_k(-score, 4)
+  dist = jnp.where(valid[idx], cdist[idx], _BIG)
+  pos = corners[idx] + p2[None] - nrm[None] * (dist[:, None] * 0.5)
+  n = jnp.tile(nrm[None], (4, 1))
+  z = jnp.zeros((4, 3), dtype=p1.dtype)
+  return dist, pos, n, z
+
+
+def _sphere_sphere_raw(p1, r1, p2, r2, fallback_n):
+  dif = p2 - p1
+  length = math.norm_safe(dif)
+  dist = length - r1 - r2
+  n = jnp.where(length < math.MINVAL, fallback_n, dif / length)
+  pos = p1 + n * (r1 + 0.5 * dist)
+  return dist, pos, n
+
+
+def _sphere_sphere(p1, m1, s1, p2, m2, s2, margin):
+  fb = math.normalize(jnp.cross(m1[:, 2], m2[:, 2]))
+  dist, pos, n = _sphere_sphere_raw(p1, s1[0], p2, s2[0], fb)
+  z = jnp.zeros(3, dtype=p1.dtype)
+  return dist[None], pos[None], n[None], z[None]
+
+
+def _sphere_capsule(p1, m1, s1, p2, m2, s2, margin):
+  axis = m2[:, 2]
+  x = jnp.clip(jnp.dot(axis, p1 - p2), -s2[1], s2[1])
+  near = p2 + axis * x
+  fb = math.normalize(jnp.cross(m1[:, 2], axis))
+  dist, pos, n = _sphere_sphere_raw(p1, s1[0], near, s2[0], fb)
+  z = jnp.zeros(3, dtype=p1.dtype)
+  return dist[None], pos[None], n[None], z[None]
+
+
+def _capsule_capsule(p1, m1, s1, p2, m2, s2, margin):
+  """Closest points between the two segments (generic, non-parallel path
+  of ref ``mjraw_CapsuleCapsule``:398; exactly-parallel capsules yield the
+  single deepest contact rather than the reference's two)."""
+  a1 = m1[:, 2] * s1[1]
+  a2 = m2[:, 2] * s2[1]
+  dif = p1 - p2
+  ma = jnp.dot(a1, a1)
+  mb = -jnp.dot(a1, a2)
+  mc = jnp.dot(a2, a2)
+  u = -jnp.dot(a1, dif)
+  v = jnp.dot(a2, dif)
+  det = ma * mc - mb * mb
+  det_safe = jnp.where(jnp.abs(det) < math.MINVAL, 1.0, det)
+
+  x1 = (mc * u - mb * v) / det_safe
+  x2 = (ma * v - mb * u) / det_safe
+  # clip cascade (ref :420-433)
+  x2 = jnp.where(x1 > 1, (v - mb) / mc, jnp.where(x1 < -1, (v + mb) / mc,
+                                                  x2))
+  x1 = jnp.clip(x1, -1, 1)
+  x1 = jnp.where(
+      x2 > 1, jnp.clip((u - mb) / ma, -1, 1),
+      jnp.where(x2 < -1, jnp.clip((u + mb) / ma, -1, 1), x1),
+  )
+  x2 = jnp.clip(x2, -1, 1)
+
+  # parallel fallback: endpoint of capsule 1
+  par = jnp.abs(det) < math.MINVAL
+  x1 = jnp.where(par, 1.0, x1)
+  x2 = jnp.where(par, jnp.clip((v - mb) / mc, -1, 1), x2)
+
+  q1 = p1 + a1 * x1
+  q2 = p2 + a2 * x2
+  fb = math.normalize(jnp.cross(m1[:, 2], m2[:, 2]))
+  dist, pos, n = _sphere_sphere_raw(q1, s1[0], q2, s2[0], fb)
+  z = jnp.zeros(3, dtype=p1.dtype)
+  return dist[None], pos[None], n[None], z[None]
+
+
+def _sphere_box(p1, m1, s1, p2, m2, s2, margin):
+  """ref ``mjraw_SphereBox`` (engine_collision_box.c:39)."""
+  center = m2.T @ (p1 - p2)
+  clamped = jnp.clip(center, -s2, s2)
+  tmp = clamped - center
+  d_out = math.norm_safe(tmp)
+
+  # outside branch
+  n_out_local = tmp / d_out
+  deepest = center + n_out_local * s1[0]
+  pos_out = 0.5 * (clamped + deepest)
+  dist_out = d_out - s1[0]
+
+  # inside branch: nearest face
+  face_dists = jnp.concatenate([s2 - center, s2 + center])  # +x,+y,+z,-x,-y,-z
+  k = jnp.argmin(face_dists)
+  closest = face_dists[k]
+  sign = jnp.where(k < 3, 1.0, -1.0)
+  axis = jnp.eye(3, dtype=p1.dtype)[k % 3] * sign
+  pos_in = center + axis * ((s1[0] - closest) / 2)
+  dist_in = -closest - s1[0]
+
+  inside = d_out <= math.MINVAL
+  dist = jnp.where(inside, dist_in, dist_out)
+  pos_local = jnp.where(inside, pos_in, pos_out)
+  n_local = jnp.where(inside, axis, n_out_local)
+  pos = m2 @ pos_local + p2
+  n = m2 @ n_local
+  z = jnp.zeros(3, dtype=p1.dtype)
+  return dist[None], pos[None], n[None], z[None]
+
+
+_NARROWPHASE: dict = {
+    (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
+    (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
+    (GeomType.PLANE, GeomType.BOX): _plane_box,
+    (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
+    (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
+    (GeomType.SPHERE, GeomType.BOX): _sphere_box,
+    (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
+}
+
+
+def _pair_params(m: Model, grp: PairGroup):
+  """Mixed contact parameters for a pair group (ref ``mj_contactParam``).
+
+  Returns (margin, includemargin, friction5, solref, solreffriction,
+  solimp), each batched over the group's pairs.
+  """
+  g1, g2 = grp.geom1, grp.geom2
+  dtype = m.geom_margin.dtype
+  npair = len(g1)
+
+  is_pair = grp.ipair >= 0
+  ip = np.where(is_pair, grp.ipair, 0)
+
+  # --- auto mixing ---
+  p1 = m.geom_priority[g1]
+  p2 = m.geom_priority[g2]
+  solmix1, solmix2 = m.geom_solmix[g1], m.geom_solmix[g2]
+  mix = jnp.where(
+      (solmix1 >= math.MINVAL) & (solmix2 >= math.MINVAL),
+      solmix1 / jnp.maximum(solmix1 + solmix2, math.MINVAL),
+      jnp.where(
+          (solmix1 < math.MINVAL) & (solmix2 < math.MINVAL), 0.5,
+          jnp.where(solmix1 < math.MINVAL, 0.0, 1.0),
+      ),
+  )
+  mix = jnp.where(jnp.asarray(p1 > p2), 1.0, mix)
+  mix = jnp.where(jnp.asarray(p1 < p2), 0.0, mix)
+  use1 = jnp.asarray(p1 > p2)
+  use2 = jnp.asarray(p1 < p2)
+  same = ~(use1 | use2)
+
+  sr1, sr2 = m.geom_solref[g1], m.geom_solref[g2]
+  both_std = (sr1[:, 0] > 0) & (sr2[:, 0] > 0)
+  solref_mixed = jnp.where(
+      both_std[:, None],
+      mix[:, None] * sr1 + (1 - mix[:, None]) * sr2,
+      jnp.minimum(sr1, sr2),
+  )
+  solref = jnp.where(use1[:, None], sr1,
+                     jnp.where(use2[:, None], sr2, solref_mixed))
+
+  si1, si2 = m.geom_solimp[g1], m.geom_solimp[g2]
+  solimp = jnp.where(
+      use1[:, None], si1,
+      jnp.where(use2[:, None], si2,
+                mix[:, None] * si1 + (1 - mix[:, None]) * si2),
+  )
+
+  f1, f2 = m.geom_friction[g1], m.geom_friction[g2]
+  fri3 = jnp.where(use1[:, None], f1,
+                   jnp.where(use2[:, None], f2, jnp.maximum(f1, f2)))
+  friction5 = fri3[:, [0, 0, 1, 2, 2]]
+
+  gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+  margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+
+  # --- explicit pair overrides ---
+  if np.any(is_pair):
+    sel = jnp.asarray(is_pair)
+    margin = jnp.where(sel, m.pair_margin[ip], margin)
+    gap = jnp.where(sel, m.pair_gap[ip], gap)
+    friction5 = jnp.where(sel[:, None], m.pair_friction[ip], friction5)
+    solref = jnp.where(sel[:, None], m.pair_solref[ip], solref)
+    solimp = jnp.where(sel[:, None], m.pair_solimp[ip], solimp)
+    solreffriction = jnp.where(
+        sel[:, None], m.pair_solreffriction[ip],
+        jnp.zeros((npair, 2), dtype=dtype),
+    )
+  else:
+    solreffriction = jnp.zeros((npair, 2), dtype=dtype)
+
+  return margin, margin - gap, friction5, solref, solreffriction, solimp
+
+
+def collision(m: Model, d: Data) -> Data:
+  """Runs all narrowphase groups, fills the static-shape contact set."""
+  lay = contact_layout(m)
+  dtype = d.qpos.dtype
+
+  if lay.ncon == 0:
+    return d.replace(contact=_empty_contact(m, dtype))
+
+  dists, poss, frames, incmargins = [], [], [], []
+  frictions, solrefs, solreffrictions, solimps = [], [], [], []
+  geom1s, geom2s = [], []
+
+  for grp in lay.groups:
+    fn = _NARROWPHASE[grp.types]
+    g1, g2 = grp.geom1, grp.geom2
+    margin, incmargin, fri, sr, srf, si = _pair_params(m, grp)
+
+    dist, pos, nrm, yhint = jax.vmap(fn)(
+        d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+        d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+        margin,
+    )
+    k = grp.nslot
+    frame = jax.vmap(jax.vmap(make_frame))(nrm, yhint)
+
+    rep = lambda x: jnp.repeat(x, k, axis=0)
+    dists.append(dist.reshape(-1))
+    poss.append(pos.reshape(-1, 3))
+    frames.append(frame.reshape(-1, 3, 3))
+    incmargins.append(rep(incmargin))
+    frictions.append(rep(fri))
+    solrefs.append(rep(sr))
+    solreffrictions.append(rep(srf))
+    solimps.append(rep(si))
+    geom1s.append(np.repeat(g1, k))
+    geom2s.append(np.repeat(g2, k))
+
+  contact = Contact(
+      dist=jnp.concatenate(dists),
+      pos=jnp.concatenate(poss),
+      frame=jnp.concatenate(frames),
+      includemargin=jnp.concatenate(incmargins),
+      friction=jnp.concatenate(frictions),
+      solref=jnp.concatenate(solrefs),
+      solreffriction=jnp.concatenate(solreffrictions),
+      solimp=jnp.concatenate(solimps),
+      geom1=jnp.asarray(np.concatenate(geom1s)),
+      geom2=jnp.asarray(np.concatenate(geom2s)),
+      efc_address=lay.efc_address,
+      dim=lay.dim,
+  )
+  return d.replace(contact=contact)
+
+
+def _empty_contact(m: Model, dtype) -> Contact:
+  z = lambda *s: jnp.zeros(s, dtype=dtype)
+  return Contact(
+      dist=z(0), pos=z(0, 3), frame=z(0, 3, 3), includemargin=z(0),
+      friction=z(0, 5), solref=z(0, 2), solreffriction=z(0, 2),
+      solimp=z(0, 5), geom1=jnp.zeros(0, jnp.int32),
+      geom2=jnp.zeros(0, jnp.int32),
+      efc_address=np.zeros(0, np.int32), dim=np.zeros(0, np.int32),
+  )
+
+
+def alloc_contact(m: Model, dtype) -> Contact:
+  """Zero-filled contact set with the model's static layout (for
+  ``make_data``: keeps the Data pytree structure stable across steps)."""
+  lay = contact_layout(m)
+  n = lay.ncon
+  z = lambda *s: jnp.zeros(s, dtype=dtype)
+  return Contact(
+      dist=jnp.full((n,), _BIG, dtype=dtype), pos=z(n, 3),
+      frame=jnp.tile(jnp.eye(3, dtype=dtype), (n, 1, 1)),
+      includemargin=z(n), friction=z(n, 5), solref=z(n, 2),
+      solreffriction=z(n, 2), solimp=z(n, 5),
+      geom1=jnp.asarray(lay.geom1), geom2=jnp.asarray(lay.geom2),
+      efc_address=lay.efc_address, dim=lay.dim,
+  )

@@ -57,11 +57,25 @@ class RowLayout(NamedTuple):
   efc_id: np.ndarray     # (nefc,)
 
 
-def row_layout(m: Model, ncon_rows: int = 0) -> RowLayout:
+def row_layout(m: Model) -> RowLayout:
   """Computes the static constraint row budget and type/id tables."""
+  from mujoco_inversedynamicstest_tpu.ops import collision
+
   flags = m.opt.disableflags
   types, ids = [], []
   ne = nf = nl = 0
+
+  # contact rows (pyramidal cone; ref mj_instantiateContact:964)
+  con_types, con_ids = [], []
+  clay = collision.contact_layout(m)
+  for slot, condim in enumerate(clay.dim):
+    if condim == 1:
+      con_types.append(ConstraintType.CONTACT_FRICTIONLESS)
+      con_ids.append(slot)
+    else:
+      con_types += [ConstraintType.CONTACT_PYRAMIDAL] * (2 * (condim - 1))
+      con_ids += [slot] * (2 * (condim - 1))
+  ncon_rows = len(con_types)
 
   if not (flags & DisableBit.CONSTRAINT):
     if not (flags & DisableBit.EQUALITY):
@@ -79,6 +93,10 @@ def row_layout(m: Model, ncon_rows: int = 0) -> RowLayout:
         types.append(ConstraintType.FRICTION_DOF)
         ids.append(int(i))
         nf += 1
+      for t in np.nonzero(m.tendon_frictionloss_nz)[0]:
+        types.append(ConstraintType.FRICTION_TENDON)
+        ids.append(int(t))
+        nf += 1
     if not (flags & DisableBit.LIMIT):
       for j in np.nonzero(m.jnt_limited)[0]:
         t = JointType(m.jnt_type[j])
@@ -88,13 +106,16 @@ def row_layout(m: Model, ncon_rows: int = 0) -> RowLayout:
         types += [ConstraintType.LIMIT_JOINT] * rows
         ids += [int(j)] * rows
         nl += rows
+      for t in np.nonzero(m.tendon_limited)[0]:
+        types += [ConstraintType.LIMIT_TENDON] * 2
+        ids += [int(t)] * 2
+        nl += 2
 
   nefc = ne + nf + nl + ncon_rows
   return RowLayout(
       ne=ne, nf=nf, nl=nl, ncon_rows=ncon_rows, nefc=nefc,
-      efc_type=np.array(types + [ConstraintType.CONTACT_PYRAMIDAL] *
-                        ncon_rows, dtype=np.int32),
-      efc_id=np.array(ids + [0] * ncon_rows, dtype=np.int32),
+      efc_type=np.array(types + con_types, dtype=np.int32),
+      efc_id=np.array(ids + con_ids, dtype=np.int32),
   )
 
 
@@ -104,40 +125,12 @@ def count_rows(m: Model) -> dict:
   return dict(ne=lay.ne, nf=lay.nf, nl=lay.nl)
 
 
-def _has_collidable_pairs(m: Model) -> bool:
-  if m.opt.disableflags & DisableBit.CONTACT:
-    return False
-  n = m.ngeom
-  for g1 in range(n):
-    for g2 in range(g1, n):
-      b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
-      if b1 == b2:
-        continue
-      # parent-child filtering (world does not count as a parent,
-      # cf. reference engine_collision_driver.c filterBodyPair)
-      parent_child = (m.body_parentid[b2] == b1 and b1 != 0) or (
-          m.body_parentid[b1] == b2 and b2 != 0
-      )
-      if parent_child and not (
-          m.opt.disableflags & DisableBit.FILTERPARENT
-      ):
-        continue
-      t1 = m.geom_contype[g1] & m.geom_conaffinity[g2]
-      t2 = m.geom_contype[g2] & m.geom_conaffinity[g1]
-      if t1 or t2:
-        return True
-  return bool(len(m.pair_geom1))
-
-
 def collision_stage(m: Model, d: Data) -> Data:
   """Collision detection (analog of ``mj_collision``, reference
   ``src/engine/engine_collision_driver.c:265``)."""
-  if _has_collidable_pairs(m):
-    raise NotImplementedError(
-        "contact collision: pending collision milestone; disable contacts "
-        "or set contype/conaffinity to 0"
-    )
-  return d
+  from mujoco_inversedynamicstest_tpu.ops import collision
+
+  return collision.collision(m, d)
 
 
 def _eq_rows(m: Model, d: Data, i: int):
@@ -348,69 +341,138 @@ def make_constraint(m: Model, d: Data) -> Data:
       solimp_rows.append(jnp.tile(m.eq_solimp[i], (rows, 1)))
       diag_rows.append(_eq_diag_approx(m, i))
 
-  # --- dof friction rows ---
+  # --- dof + tendon friction rows ---
   if lay.nf:
     fdofs = np.nonzero(m.dof_frictionloss_nz)[0]
-    eye = jnp.zeros((len(fdofs), nv), dtype=dtype)
-    eye = eye.at[np.arange(len(fdofs)), fdofs].set(1.0)
-    J_rows.append(eye)
-    pos_rows.append(jnp.zeros(len(fdofs), dtype=dtype))
-    margin_rows.append(jnp.zeros(len(fdofs), dtype=dtype))
-    floss_rows.append(m.dof_frictionloss[fdofs])
-    active_rows.append(jnp.ones(len(fdofs), dtype=bool))
-    solref_rows.append(m.dof_solref[fdofs])
-    solimp_rows.append(m.dof_solimp[fdofs])
-    diag_rows.append(m.dof_invweight0[fdofs])
+    if fdofs.size:
+      eye = jnp.zeros((len(fdofs), nv), dtype=dtype)
+      eye = eye.at[np.arange(len(fdofs)), fdofs].set(1.0)
+      J_rows.append(eye)
+      pos_rows.append(jnp.zeros(len(fdofs), dtype=dtype))
+      margin_rows.append(jnp.zeros(len(fdofs), dtype=dtype))
+      floss_rows.append(m.dof_frictionloss[fdofs])
+      active_rows.append(jnp.ones(len(fdofs), dtype=bool))
+      solref_rows.append(m.dof_solref[fdofs])
+      solimp_rows.append(m.dof_solimp[fdofs])
+      diag_rows.append(m.dof_invweight0[fdofs])
+    ftens = np.nonzero(m.tendon_frictionloss_nz)[0]
+    if ftens.size:
+      J_rows.append(d.ten_J[ftens])
+      pos_rows.append(jnp.zeros(len(ftens), dtype=dtype))
+      margin_rows.append(jnp.zeros(len(ftens), dtype=dtype))
+      floss_rows.append(m.tendon_frictionloss[ftens])
+      active_rows.append(jnp.ones(len(ftens), dtype=bool))
+      solref_rows.append(m.tendon_solref_fri[ftens])
+      solimp_rows.append(m.tendon_solimp_fri[ftens])
+      diag_rows.append(m.tendon_invweight0[ftens])
 
-  # --- joint limit rows ---
+  # --- joint + tendon limit rows (vectorized; order restored to the
+  # reference's joint-id interleaving via a static permutation) ---
   if lay.nl:
-    for j in np.nonzero(m.jnt_limited)[0]:
-      t = JointType(m.jnt_type[j])
-      adr = m.jnt_dofadr[j]
-      margin = m.jnt_margin[j]
-      if t in (JointType.HINGE, JointType.SLIDE):
-        value = d.qpos[m.jnt_qposadr[j]]
-        for side, side_sign in ((0, -1.0), (1, 1.0)):
-          dist = side_sign * (m.jnt_range[j, side] - value)
-          act = dist < margin
-          row = jnp.zeros((1, nv), dtype=dtype).at[0, adr].set(-side_sign)
-          J_rows.append(row * act)
-          pos_rows.append(dist[None])
-          margin_rows.append(margin[None])
-          floss_rows.append(zero[None])
-          active_rows.append(act[None])
-          solref_rows.append(m.jnt_solref[j][None])
-          solimp_rows.append(m.jnt_solimp[j][None])
-          diag_rows.append(m.dof_invweight0[adr][None])
-      else:  # BALL: single row limiting total rotation angle
-        qidx = m.jnt_qposadr[j] + np.arange(4)
-        quat = math.normalize_quat(d.qpos[qidx])
-        axis_angle = math.quat_sub(
-            quat, jnp.asarray([1.0, 0, 0, 0], dtype=dtype)
-        )
-        angle = math.norm_safe(axis_angle)
-        axis = axis_angle / angle
-        dist = jnp.maximum(m.jnt_range[j, 0], m.jnt_range[j, 1]) - angle
-        act = dist < margin
-        row = jnp.zeros((1, nv), dtype=dtype)
-        row = row.at[0, adr + np.arange(3)].set(-axis)
-        J_rows.append(row * act)
-        pos_rows.append(dist[None])
-        margin_rows.append(margin[None])
-        floss_rows.append(zero[None])
-        active_rows.append(act[None])
-        solref_rows.append(m.jnt_solref[j][None])
-        solimp_rows.append(m.jnt_solimp[j][None])
-        diag_rows.append(m.dof_invweight0[adr][None])
+    limited = np.nonzero(m.jnt_limited)[0]
+    jt = m.jnt_type[limited]
+    sj = limited[np.isin(jt, (JointType.HINGE, JointType.SLIDE))]
+    bj = limited[jt == JointType.BALL]
 
-  efc_J = jnp.concatenate(J_rows, axis=0)
-  efc_pos = jnp.concatenate(pos_rows)
-  efc_margin = jnp.concatenate(margin_rows)
-  efc_floss = jnp.concatenate(floss_rows)
-  efc_active = jnp.concatenate(active_rows)
-  solref = jnp.concatenate(solref_rows, axis=0)
-  solimp = jnp.concatenate(solimp_rows, axis=0)
-  diag = jnp.concatenate(diag_rows)
+    blocks = []  # (joint_id_key, J, pos, margin, act, solref, solimp, diag)
+    if sj.size:
+      ns = len(sj)
+      padr, vadr = m.jnt_qposadr[sj], m.jnt_dofadr[sj]
+      value = d.qpos[padr]
+      margin = m.jnt_margin[sj]
+      dist = jnp.stack(
+          [value - m.jnt_range[sj, 0], m.jnt_range[sj, 1] - value], axis=1
+      )
+      act = dist < margin[:, None]
+      signs = jnp.asarray([1.0, -1.0], dtype=dtype)
+      Js = jnp.zeros((ns, 2, nv), dtype=dtype)
+      Js = Js.at[np.arange(ns)[:, None], np.arange(2)[None, :],
+                 vadr[:, None]].set(signs[None, :] * act)
+      key = np.repeat(sj, 2)
+      blocks.append((
+          key, Js.reshape(2 * ns, nv), dist.reshape(-1),
+          jnp.repeat(margin, 2), act.reshape(-1),
+          jnp.repeat(m.jnt_solref[sj], 2, axis=0),
+          jnp.repeat(m.jnt_solimp[sj], 2, axis=0),
+          jnp.repeat(m.dof_invweight0[vadr], 2),
+      ))
+
+    if bj.size:
+      nb = len(bj)
+      qidx = m.jnt_qposadr[bj][:, None] + np.arange(4)[None, :]
+      vadr = m.jnt_dofadr[bj]
+      quat = math.normalize_quat(d.qpos[qidx])
+      aa = math.quat_sub(
+          quat, jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (nb, 1))
+      )
+      angle = math.norm_safe(aa, axis=1)
+      axis = aa / angle[:, None]
+      margin = m.jnt_margin[bj]
+      dist = jnp.max(m.jnt_range[bj], axis=1) - angle
+      act = dist < margin
+      Jb = jnp.zeros((nb, nv), dtype=dtype)
+      Jb = Jb.at[np.arange(nb)[:, None],
+                 vadr[:, None] + np.arange(3)[None, :]].set(
+                     -axis * act[:, None])
+      blocks.append((
+          bj, Jb, dist, margin, act, m.jnt_solref[bj], m.jnt_solimp[bj],
+          m.dof_invweight0[vadr],
+      ))
+
+    if blocks:
+      keys = np.concatenate([b[0] for b in blocks])
+      perm = np.argsort(keys, kind="stable")
+      J_rows.append(jnp.concatenate([b[1] for b in blocks])[perm])
+      pos_rows.append(jnp.concatenate([b[2] for b in blocks])[perm])
+      margin_rows.append(jnp.concatenate([b[3] for b in blocks])[perm])
+      floss_rows.append(jnp.zeros(len(keys), dtype=dtype))
+      active_rows.append(jnp.concatenate([b[4] for b in blocks])[perm])
+      solref_rows.append(jnp.concatenate([b[5] for b in blocks])[perm])
+      solimp_rows.append(jnp.concatenate([b[6] for b in blocks])[perm])
+      diag_rows.append(jnp.concatenate([b[7] for b in blocks])[perm])
+
+    # tendon limits (two sides each; ref :925-960)
+    tl = np.nonzero(m.tendon_limited)[0]
+    if tl.size:
+      nt = len(tl)
+      margin = m.tendon_margin[tl]
+      length = d.ten_length[tl]
+      dist = jnp.stack(
+          [length - m.tendon_range[tl, 0], m.tendon_range[tl, 1] - length],
+          axis=1,
+      )
+      act = dist < margin[:, None]
+      signs = jnp.asarray([1.0, -1.0], dtype=dtype)
+      Jt = (
+          d.ten_J[tl][:, None, :] * signs[None, :, None]
+          * act[:, :, None]
+      )
+      J_rows.append(Jt.reshape(2 * nt, nv))
+      pos_rows.append(dist.reshape(-1))
+      margin_rows.append(jnp.repeat(margin, 2))
+      floss_rows.append(jnp.zeros(2 * nt, dtype=dtype))
+      active_rows.append(act.reshape(-1))
+      solref_rows.append(jnp.repeat(m.tendon_solref_lim[tl], 2, axis=0))
+      solimp_rows.append(jnp.repeat(m.tendon_solimp_lim[tl], 2, axis=0))
+      diag_rows.append(jnp.repeat(m.tendon_invweight0[tl], 2))
+
+  njoint_rows = lay.ne + lay.nf + lay.nl
+  if njoint_rows:
+    efc_J = jnp.concatenate(J_rows, axis=0)
+    efc_pos = jnp.concatenate(pos_rows)
+    efc_margin = jnp.concatenate(margin_rows)
+    efc_floss = jnp.concatenate(floss_rows)
+    efc_active = jnp.concatenate(active_rows)
+    solref = jnp.concatenate(solref_rows, axis=0)
+    solimp = jnp.concatenate(solimp_rows, axis=0)
+    diag = jnp.concatenate(diag_rows)
+  else:
+    efc_J = jnp.zeros((0, nv), dtype=dtype)
+    efc_pos = efc_margin = efc_floss = jnp.zeros(0, dtype=dtype)
+    efc_active = jnp.zeros(0, dtype=bool)
+    solref = jnp.zeros((0, 2), dtype=dtype)
+    solimp = jnp.zeros((0, 5), dtype=dtype)
+    diag = jnp.zeros(0, dtype=dtype)
 
   # impedance position: connect/weld blocks share the norm of their
   # residual vector (ref getposdim, engine_core_constraint.c:1392)
@@ -429,11 +491,28 @@ def make_constraint(m: Model, d: Data) -> Data:
     row += nrows
 
   imp, impp = _impedance(solimp, imp_pos, efc_margin)
-  is_friction = lay.efc_type == ConstraintType.FRICTION_DOF
+  is_friction = np.isin(
+      lay.efc_type[:njoint_rows],
+      (ConstraintType.FRICTION_DOF, ConstraintType.FRICTION_TENDON),
+  )
   kbip = _kbip(m, solref, solimp, imp, impp, is_friction)
 
   r = jnp.maximum(math.MINVAL, (1 - imp) * diag / imp)
   dvec = jnp.where(efc_active, 1.0 / r, 0.0)
+
+  # --- contact rows (pyramidal; ref mj_instantiateContact:964) ---
+  if lay.ncon_rows:
+    cJ, cpos, cmargin, cactive, ckbip, cr, cd = _contact_rows(m, d)
+    efc_J = jnp.concatenate([efc_J, cJ], axis=0)
+    efc_pos = jnp.concatenate([efc_pos, cpos])
+    efc_margin = jnp.concatenate([efc_margin, cmargin])
+    efc_floss = jnp.concatenate(
+        [efc_floss, jnp.zeros(lay.ncon_rows, dtype=dtype)]
+    )
+    efc_active = jnp.concatenate([efc_active, cactive])
+    kbip = jnp.concatenate([kbip, ckbip], axis=0)
+    r = jnp.concatenate([r, cr])
+    dvec = jnp.concatenate([dvec, cd])
 
   return d.replace(
       ne=lay.ne, nf=lay.nf, nl=lay.nl, nefc=lay.nefc,
@@ -529,6 +608,116 @@ def _eq_acc_bias(m: Model, d: Data, lay: RowLayout) -> jax.Array:
     row += nrows
 
   return bias
+
+
+def _contact_rows(m: Model, d: Data):
+  """Builds pyramidal contact rows from the static-shape contact set.
+
+  (ref ``mj_instantiateContact``:964, contact ``mj_diagApprox``:1240,
+  pyramidal R adjustment in ``mj_makeImpedance``:1560).  Returns
+  (J, pos, margin, active, KBIP, R, D) for the contact row block.
+  """
+  from mujoco_inversedynamicstest_tpu.ops import collision
+
+  clay = collision.contact_layout(m)
+  con = d.contact
+  dtype = d.qpos.dtype
+  ncon = clay.ncon
+
+  b1 = m.geom_bodyid[clay.geom1]
+  b2 = m.geom_bodyid[clay.geom2]
+
+  # static row gather: for each efc contact row -> (slot, axis k, sign)
+  slot_idx, k_idx, sign_np = [], [], []
+  for slot, condim in enumerate(clay.dim):
+    if condim == 1:
+      slot_idx.append(slot)
+      k_idx.append(0)       # normal only
+      sign_np.append(0.0)
+    else:
+      for k in range(1, condim):
+        for s in (1.0, -1.0):
+          slot_idx.append(slot)
+          k_idx.append(k)
+          sign_np.append(s)
+  slot_idx = np.array(slot_idx, np.int32)
+  k_idx = np.array(k_idx, np.int32)
+  sign = jnp.asarray(np.array(sign_np), dtype=dtype)
+  nrows = len(slot_idx)
+
+  # per-row world wrench (w_t translation dir, w_r rotation dir):
+  #   row = J_normal + sign*mu_k*J_axis(k); axes 1,2 are tangential
+  #   (translation), 3..5 rotational (frame rows 0..2)
+  frame = con.frame[slot_idx]            # (nrows, 3, 3)
+  n_dir = frame[:, 0]
+  is_tan = (k_idx >= 1) & (k_idx <= 2)
+  tan_row = np.where(is_tan, np.maximum(k_idx, 1), 1)
+  rot_row = np.where(k_idx >= 3, k_idx - 3, 0)
+  mu_row = con.friction[slot_idx, np.maximum(k_idx - 1, 0)]
+  axis_t = frame[np.arange(nrows), tan_row] * jnp.asarray(
+      is_tan, dtype=dtype)[:, None]
+  axis_r = frame[np.arange(nrows), rot_row] * jnp.asarray(
+      k_idx >= 3, dtype=dtype)[:, None]
+  w_t = n_dir + sign[:, None] * mu_row[:, None] * axis_t
+  w_r = sign[:, None] * mu_row[:, None] * axis_r
+
+  # per-side 6D contraction vectors u = [(p - com_side) x w_t + w_r ; w_t]
+  # so that row_J[v] = mask2*cdof_v.u2 - mask1*cdof_v.u1  (one MXU matmul
+  # per side instead of per-contact Jacobian tensors)
+  p_row = con.pos[slot_idx]
+  com = d.subtree_com[m.body_rootid]
+
+  def side_rows(bids):
+    off = p_row - com[bids[slot_idx]]
+    u = jnp.concatenate([jnp.cross(off, w_t) + w_r, w_t], axis=1)
+    return u @ d.cdof.T                  # (nrows, nv)
+
+  bmask = jnp.asarray(m.tree.body_dof_mask)
+  mask1 = bmask[b1[slot_idx]]
+  mask2 = bmask[b2[slot_idx]]
+  rows_J = jnp.where(mask2, side_rows(b2), 0.0) - jnp.where(
+      mask1, side_rows(b1), 0.0
+  )
+
+  # diag approx (ref :1300-1306)
+  invw = m.body_invweight0
+  tran = invw[b1, 0] + invw[b2, 0]       # (ncon,)
+  rot = invw[b1, 1] + invw[b2, 1]
+  base_rot = jnp.where(jnp.asarray(k_idx >= 3), rot[slot_idx],
+                       tran[slot_idx])
+  da_row = tran[slot_idx] + mu_row**2 * base_rot
+
+  # shared per-contact impedance at pos = dist
+  imp, impp = _impedance(con.solimp, con.dist, con.includemargin)
+  kbip_con = _kbip(
+      m, con.solref, con.solimp, imp, impp,
+      np.zeros(ncon, dtype=bool),
+  )                                      # (ncon, 4)
+
+  # per-contact R of the first row, then pyramidal replacement
+  mu0 = con.friction[:, 0]
+  da0 = jnp.where(
+      jnp.asarray(clay.dim == 1), tran, tran + mu0**2 * tran
+  )
+  r0 = jnp.maximum(math.MINVAL, (1 - imp) * da0 / imp)
+  mu_reg = mu0 / jnp.sqrt(m.opt.impratio)
+  r_py = 2.0 * mu_reg**2 * r0
+
+  active_con = con.dist < con.includemargin
+
+  is_normal = k_idx == 0
+  rows_pos = con.dist[slot_idx]
+  rows_margin = con.includemargin[slot_idx]
+  rows_active = active_con[slot_idx]
+  rows_kbip = kbip_con[slot_idx]
+  rows_r = jnp.where(
+      jnp.asarray(is_normal), r0[slot_idx], r_py[slot_idx]
+  )
+  rows_d = jnp.where(rows_active, 1.0 / rows_r, 0.0)
+  rows_J = rows_J * rows_active[:, None].astype(dtype)
+
+  return (rows_J, rows_pos, rows_margin, rows_active, rows_kbip, rows_r,
+          rows_d)
 
 
 def reference_constraint(m: Model, d: Data) -> Data:

@@ -37,6 +37,7 @@ def fwd_position(m: Model, d: Data) -> Data:
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
   # camlight: no-op until camera support
+  d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   d = smooth.factor_m(m, d)
   d = constraint_mod.collision_stage(m, d)
@@ -47,6 +48,8 @@ def fwd_position(m: Model, d: Data) -> Data:
 
 def fwd_velocity(m: Model, d: Data) -> Data:
   """Velocity-dependent computations (ref ``mj_fwdVelocity``:193)."""
+  if m.ntendon:
+    d = d.replace(ten_velocity=d.ten_J @ d.qvel)
   if m.nu:
     d = d.replace(actuator_velocity=d.actuator_moment @ d.qvel)
   d = smooth.com_vel(m, d)
@@ -265,10 +268,12 @@ def euler(m: Model, d: Data) -> Data:
       m.opt.disableflags & DisableBit.EULERDAMP
   )
   if use_damp:
+    from mujoco_inversedynamicstest_tpu.ops import linalg
+
     mh = d.qM + jnp.diag(m.opt.timestep * m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    lh = jnp.linalg.cholesky(mh)
-    qacc = jax.scipy.linalg.cho_solve((lh, True), qfrc)
+    lh = linalg.chol_factor(mh)
+    qacc = linalg.chol_solve(lh, qfrc)
   return _advance(m, d, d.act_dot, qacc)
 
 
@@ -313,8 +318,38 @@ def implicit(m: Model, d: Data) -> Data:
   )
 
 
+# mjMAXVAL (reference include/mujoco/mjmodel.h): state-validity bound
+_MAXVAL = 1e10
+
+
+def _check_reset(m: Model, d: Data) -> Data:
+  """Auto-recovery from diverged states (per-batch-element masked reset).
+
+  Analog of ``mj_checkPos``/``mj_checkVel`` (+ warning and
+  ``mj_resetData``; ref ``engine_forward.c:53-104``).  The reference
+  resets the whole mjData; here each vmapped rollout resets
+  independently — a diverged element returns to the reference pose with
+  zero velocity/controls while the rest of the batch is untouched.
+  """
+  if m.opt.disableflags & DisableBit.AUTORESET:
+    return d
+  bad = ~jnp.all(jnp.isfinite(d.qpos)) | jnp.any(jnp.abs(d.qpos) > _MAXVAL)
+  bad |= ~jnp.all(jnp.isfinite(d.qvel)) | jnp.any(jnp.abs(d.qvel) > _MAXVAL)
+  rst = lambda x, v: jnp.where(bad, v, x)
+  return d.replace(
+      qpos=rst(d.qpos, m.qpos0),
+      qvel=rst(d.qvel, jnp.zeros_like(d.qvel)),
+      act=rst(d.act, jnp.zeros_like(d.act)),
+      ctrl=rst(d.ctrl, jnp.zeros_like(d.ctrl)),
+      qacc_warmstart=rst(d.qacc_warmstart, jnp.zeros_like(d.qvel)),
+      qfrc_applied=rst(d.qfrc_applied, jnp.zeros_like(d.qfrc_applied)),
+      xfrc_applied=rst(d.xfrc_applied, jnp.zeros_like(d.xfrc_applied)),
+  )
+
+
 def step(m: Model, d: Data) -> Data:
   """One simulation step (ref ``mj_step``, engine_forward.c:1134)."""
+  d = _check_reset(m, d)
   d = forward(m, d)
   integrator = IntegratorType(m.opt.integrator)
   if integrator == IntegratorType.EULER:

@@ -1,0 +1,175 @@
+"""Batched small-matrix Cholesky factor/solve — Pallas TPU kernels.
+
+The reference's hot path factors the joint-space inertia (and the Newton
+constraint Hessian) once per step per rollout (``mj_factorM``/``mj_solveLD``,
+reference ``src/engine/engine_core_smooth.c:1470/1629``;
+``FactorizeHessian``, ``engine_solver.c:1501``).  XLA's batched
+``cholesky`` lowers to a serial per-matrix algorithm that wastes the VPU at
+MuJoCo-scale nv (20-100).  These kernels use the TPU-native layout: the
+*batch* dimension lives on vector lanes, the matrix is unrolled over
+pivots, and the whole factorization runs in VMEM — every vector op
+processes 128 rollouts at once.
+
+Matrices are symmetric, so the column-major relayout is a plain reshape +
+transpose done by XLA outside the kernel.
+
+Exposed as ``jax.custom_batching.custom_vmap`` wrappers: unbatched calls
+(and non-TPU backends) fall back to ``jnp.linalg``; a vmapped call on TPU
+dispatches one kernel over the entire batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import custom_batching
+
+_LANES = 128
+
+
+def _use_pallas(batch: int, n: int) -> bool:
+  if jax.default_backend() != "tpu":
+    return False
+  # lane tiling wants a multiple of 128; small n keeps VMEM bounded
+  return batch % _LANES == 0 and 2 <= n <= 128
+
+
+# ---------------------------------------------------------------------------
+# Kernels.  Layout: column-major flattening (col * n + row, batch) so matrix
+# columns are contiguous row-slices.
+# ---------------------------------------------------------------------------
+
+
+def _chol_kernel(n, h_ref, l_ref):
+  """In-VMEM in-place right-looking Cholesky, unrolled over pivots.
+
+  ``l_ref`` doubles as the working buffer (ref-mutating slice updates —
+  Pallas TPU has no scatter).
+  """
+  l_ref[:] = h_ref[:]                # (n*n, LANES)
+  for k in range(n):
+    base = k * n
+    if k:
+      l_ref[base : base + k, :] = jnp.zeros_like(l_ref[base : base + k, :])
+    pivot = l_ref[base + k : base + k + 1, :]
+    rinv = jax.lax.rsqrt(jnp.maximum(pivot, 1e-30))
+    lcol = l_ref[base + k : base + n, :] * rinv  # rows k.. of column k
+    l_ref[base + k : base + n, :] = lcol
+    # trailing update: column j (> k), rows j..n-1
+    for j in range(k + 1, n):
+      lj = lcol[j - k : j - k + 1, :]            # L[j, k]
+      l_ref[j * n + j : j * n + n, :] = (
+          l_ref[j * n + j : j * n + n, :] - lcol[j - k :, :] * lj
+      )
+
+
+def _solve_kernel(n, l_ref, b_ref, x_ref):
+  """Forward+backward substitution with L (column-major), batched on lanes."""
+  x_ref[:] = b_ref[:]                # (n, LANES)
+  # y <- L^{-1} b
+  for k in range(n):
+    base = k * n
+    dinv = 1.0 / l_ref[base + k : base + k + 1, :]
+    yk = x_ref[k : k + 1, :] * dinv
+    x_ref[k : k + 1, :] = yk
+    if k + 1 < n:
+      x_ref[k + 1 :, :] = (
+          x_ref[k + 1 :, :] - l_ref[base + k + 1 : base + n, :] * yk
+      )
+  # x <- L^{-T} y
+  for k in range(n - 1, -1, -1):
+    base = k * n
+    dinv = 1.0 / l_ref[base + k : base + k + 1, :]
+    if k + 1 < n:
+      dot = jnp.sum(
+          l_ref[base + k + 1 : base + n, :] * x_ref[k + 1 :, :],
+          axis=0, keepdims=True,
+      )
+      x_ref[k : k + 1, :] = (x_ref[k : k + 1, :] - dot) * dinv
+    else:
+      x_ref[k : k + 1, :] = x_ref[k : k + 1, :] * dinv
+
+
+def _pallas_chol(h_batched: jax.Array) -> jax.Array:
+  """(B, n, n) -> (B, n, n) lower factor, via the lane-batched kernel."""
+  from jax.experimental import pallas as pl
+
+  b, n, _ = h_batched.shape
+  # symmetric: row-major flatten == column-major flatten
+  h_cm = h_batched.reshape(b, n * n).T          # (n*n, B)
+  grid = (b // _LANES,)
+  out = pl.pallas_call(
+      partial(_chol_kernel, n),
+      out_shape=jax.ShapeDtypeStruct((n * n, b), h_batched.dtype),
+      grid=grid,
+      in_specs=[pl.BlockSpec((n * n, _LANES), lambda i: (0, i))],
+      out_specs=pl.BlockSpec((n * n, _LANES), lambda i: (0, i)),
+  )(h_cm)
+  # out is column-major; transpose each matrix back
+  return out.T.reshape(b, n, n).transpose(0, 2, 1)
+
+
+def _pallas_solve(l_batched: jax.Array, b_vec: jax.Array) -> jax.Array:
+  """(B, n, n) lower factor + (B, n) rhs -> (B, n) solution."""
+  from jax.experimental import pallas as pl
+
+  b, n, _ = l_batched.shape
+  l_cm = l_batched.transpose(0, 2, 1).reshape(b, n * n).T  # (n*n, B)
+  rhs = b_vec.T                                             # (n, B)
+  grid = (b // _LANES,)
+  out = pl.pallas_call(
+      partial(_solve_kernel, n),
+      out_shape=jax.ShapeDtypeStruct((n, b), b_vec.dtype),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((n * n, _LANES), lambda i: (0, i)),
+          pl.BlockSpec((n, _LANES), lambda i: (0, i)),
+      ],
+      out_specs=pl.BlockSpec((n, _LANES), lambda i: (0, i)),
+  )(l_cm, rhs)
+  return out.T
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers
+# ---------------------------------------------------------------------------
+
+
+@custom_batching.custom_vmap
+def chol_factor(h: jax.Array) -> jax.Array:
+  """Lower Cholesky factor of an SPD matrix (batched -> Pallas on TPU)."""
+  return jnp.linalg.cholesky(h)
+
+
+@chol_factor.def_vmap
+def _chol_factor_vmap(axis_size, in_batched, h):
+  (h_batched,) = in_batched
+  if h_batched and h.ndim == 3 and _use_pallas(h.shape[0], h.shape[1]):
+    return _pallas_chol(h), True
+  return jnp.linalg.cholesky(h), h_batched
+
+
+@custom_batching.custom_vmap
+def chol_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+  """Solves (L L^T) x = b given the lower factor."""
+  return jax.scipy.linalg.cho_solve((l, True), b)
+
+
+@chol_solve.def_vmap
+def _chol_solve_vmap(axis_size, in_batched, l, b):
+  l_batched, b_batched = in_batched
+  if (
+      l_batched and b_batched and l.ndim == 3 and b.ndim == 2
+      and _use_pallas(l.shape[0], l.shape[1])
+  ):
+    return _pallas_solve(l, b), True
+  if l_batched or b_batched:
+    lb = l if l_batched else jnp.broadcast_to(l, (axis_size,) + l.shape)
+    bb = b if b_batched else jnp.broadcast_to(b, (axis_size,) + b.shape)
+    return jax.vmap(
+        lambda li, bi: jax.scipy.linalg.cho_solve((li, True), bi)
+    )(lb, bb), True
+  return jax.scipy.linalg.cho_solve((l, True), b), False

@@ -92,6 +92,21 @@ def passive(m: Model, d: Data) -> Data:
   if not (flags & DisableBit.DAMPER):
     qfrc_damper = -m.dof_damping * d.qvel
 
+  # tendon-level spring-dampers (deadband spring; ref engine_passive.c:337)
+  if m.ntendon:
+    length = d.ten_length
+    lower = m.tendon_lengthspring[:, 0]
+    upper = m.tendon_lengthspring[:, 1]
+    frc_spring = m.tendon_stiffness * (
+        jnp.where(length > upper, upper - length, 0.0)
+        + jnp.where(length < lower, lower - length, 0.0)
+    )
+    frc_damper = -m.tendon_damping * d.ten_velocity
+    if not (flags & DisableBit.SPRING):
+      qfrc_spring = qfrc_spring + d.ten_J.T @ frc_spring
+    if not (flags & DisableBit.DAMPER):
+      qfrc_damper = qfrc_damper + d.ten_J.T @ frc_damper
+
   qfrc_gravcomp = zero
   if not (flags & DisableBit.GRAVITY):
     qfrc_gravcomp = gravcomp(m, d)

@@ -1,32 +1,389 @@
 """Sensors and energy — analog of ``src/engine/engine_sensor.c``.
 
 Stage entry points mirror ``mj_sensorPos``:222 / ``mj_sensorVel``:527 /
-``mj_sensorAcc``:708.  Sensor evaluation is filled in per-type in the
-sensor milestone; models without sensors pass through untouched.
+``mj_sensorAcc``:708, with energy (``mj_energyPos``:920 /
+``mj_energyVel``:1011).  Sensors are evaluated with a static per-sensor
+unrolled loop (types/ids/addresses are compile-time model data); cutoff
+post-processing follows ``apply_cutoff`` (ref :40).
+
+Not yet supported (raise at trace time): rangefinder/camera-projection
+(pending ray module), touch (pending site-zone ray tests), geomdist,
+plugin/user sensors.
 """
 
 from __future__ import annotations
 
-from mujoco_inversedynamicstest_tpu.models.types import Data, DisableBit, Model
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import (
+    Data,
+    DisableBit,
+    JointType,
+    Model,
+    ObjType,
+    SensorType,
+)
+from mujoco_inversedynamicstest_tpu.ops import math, smooth
+
+_STAGE_POS, _STAGE_VEL, _STAGE_ACC = 1, 2, 3
 
 
 def _enabled(m: Model) -> bool:
   return m.nsensor > 0 and not (m.opt.disableflags & DisableBit.SENSOR)
 
 
+def _frame_pos_mat(m: Model, d: Data, objtype: int, objid: int):
+  """(pos, mat) of an object frame (ref ``get_xpos_xmat``, sensor.c:73)."""
+  t = ObjType(objtype)
+  if t == ObjType.XBODY:
+    return d.xpos[objid], d.xmat[objid]
+  if t == ObjType.BODY:
+    return d.xipos[objid], d.ximat[objid]
+  if t == ObjType.GEOM:
+    return d.geom_xpos[objid], d.geom_xmat[objid]
+  if t == ObjType.SITE:
+    return d.site_xpos[objid], d.site_xmat[objid]
+  raise NotImplementedError(f"sensor object type {t}")
+
+
+def _frame_quat(m: Model, d: Data, objtype: int, objid: int):
+  """Global quaternion of an object (ref ``get_xquat``, sensor.c:102)."""
+  t = ObjType(objtype)
+  if t == ObjType.XBODY:
+    return d.xquat[objid]
+  if t == ObjType.BODY:
+    return math.quat_mul(d.xquat[objid], m.body_iquat[objid])
+  if t == ObjType.GEOM:
+    return math.quat_mul(d.xquat[m.geom_bodyid[objid]], m.geom_quat[objid])
+  if t == ObjType.SITE:
+    return math.quat_mul(d.xquat[m.site_bodyid[objid]], m.site_quat[objid])
+  raise NotImplementedError(f"sensor object type {t}")
+
+
+def _obj_body(m: Model, objtype: int, objid: int) -> int:
+  t = ObjType(objtype)
+  if t in (ObjType.BODY, ObjType.XBODY):
+    return int(objid)
+  if t == ObjType.GEOM:
+    return int(m.geom_bodyid[objid])
+  if t == ObjType.SITE:
+    return int(m.site_bodyid[objid])
+  raise NotImplementedError(f"sensor object type {t}")
+
+
+def _spatial_at(m: Model, d: Data, spatial6, objtype: int, objid: int,
+                local: bool):
+  """Re-expresses a com-frame motion 6-vector at an object frame.
+
+  (ref ``mj_objectVelocity``/``mj_objectAcceleration``,
+  engine_support.c:1265/1317 — without the centripetal correction)
+  """
+  pos, mat = _frame_pos_mat(m, d, objtype, objid)
+  body = _obj_body(m, objtype, objid)
+  off = pos - d.subtree_com[m.body_rootid[body]]
+  out = math.transform_motion(spatial6[body], off)
+  if local:
+    out = jnp.concatenate([mat.T @ out[:3], mat.T @ out[3:]])
+  return out
+
+
+def object_velocity(m: Model, d: Data, objtype: int, objid: int,
+                    local: bool):
+  return _spatial_at(m, d, d.cvel, objtype, objid, local)
+
+
+def object_acceleration(m: Model, d: Data, objtype: int, objid: int,
+                        local: bool):
+  """(ref ``mj_objectAcceleration``:1317: translated cacc plus the
+  centripetal term ``ang_vel x lin_vel``)."""
+  vel = _spatial_at(m, d, d.cvel, objtype, objid, local)
+  acc = _spatial_at(m, d, d.cacc, objtype, objid, local)
+  corr = jnp.cross(vel[:3], vel[3:])
+  return acc.at[3:].add(corr)
+
+
+def _apply_cutoff(m: Model, sensordata: jax.Array, stage: int) -> jax.Array:
+  for i in range(m.nsensor):
+    if m.sensor_needstage[i] != stage:
+      continue
+    adr, dim = int(m.sensor_adr[i]), int(m.sensor_dim[i])
+    cutoff = m.sensor_cutoff[i]
+    seg = jax.lax.dynamic_slice(sensordata, (adr,), (dim,))
+    if m.sensor_datatype[i] == 0:    # REAL: two-sided
+      clipped = jnp.clip(seg, -cutoff, cutoff)
+    elif m.sensor_datatype[i] == 1:  # POSITIVE: one-sided
+      clipped = jnp.minimum(seg, cutoff)
+    else:
+      continue
+    seg = jnp.where(cutoff > 0, clipped, seg)
+    sensordata = jax.lax.dynamic_update_slice(sensordata, seg, (adr,))
+  return sensordata
+
+
+def _write(sd, adr, value):
+  value = jnp.atleast_1d(value)
+  return sd.at[adr : adr + value.shape[0]].set(value)
+
+
 def sensor_pos(m: Model, d: Data) -> Data:
+  """Position-stage sensors (ref ``mj_sensorPos``:222)."""
   if not _enabled(m):
     return d
-  raise NotImplementedError("pending sensor milestone")
+  sd = d.sensordata
+  S = SensorType
+
+  for i in range(m.nsensor):
+    if m.sensor_needstage[i] != _STAGE_POS:
+      continue
+    t = S(m.sensor_type[i])
+    objid = int(m.sensor_objid[i])
+    objtype = int(m.sensor_objtype[i])
+    refid = int(m.sensor_refid[i])
+    reftype = int(m.sensor_reftype[i])
+    adr = int(m.sensor_adr[i])
+
+    if t == S.JOINTPOS:
+      sd = _write(sd, adr, d.qpos[m.jnt_qposadr[objid]])
+    elif t == S.TENDONPOS:
+      sd = _write(sd, adr, d.ten_length[objid])
+    elif t == S.ACTUATORPOS:
+      sd = _write(sd, adr, d.actuator_length[objid])
+    elif t == S.BALLQUAT:
+      q = math.normalize_quat(
+          d.qpos[m.jnt_qposadr[objid] + np.arange(4)]
+      )
+      sd = _write(sd, adr, q)
+    elif t == S.MAGNETOMETER:
+      sd = _write(sd, adr, d.site_xmat[objid].T @ m.opt.magnetic)
+    elif t == S.FRAMEPOS:
+      pos, _ = _frame_pos_mat(m, d, objtype, objid)
+      if refid >= 0:
+        rpos, rmat = _frame_pos_mat(m, d, reftype, refid)
+        pos = rmat.T @ (pos - rpos)
+      sd = _write(sd, adr, pos)
+    elif t in (S.FRAMEXAXIS, S.FRAMEYAXIS, S.FRAMEZAXIS):
+      _, mat = _frame_pos_mat(m, d, objtype, objid)
+      axis = mat[:, int(t) - int(S.FRAMEXAXIS)]
+      if refid >= 0:
+        _, rmat = _frame_pos_mat(m, d, reftype, refid)
+        axis = rmat.T @ axis
+      sd = _write(sd, adr, axis)
+    elif t == S.FRAMEQUAT:
+      q = _frame_quat(m, d, objtype, objid)
+      if refid >= 0:
+        rq = _frame_quat(m, d, reftype, refid)
+        q = math.quat_mul(math.quat_conj(rq), q)
+      sd = _write(sd, adr, q)
+    elif t == S.SUBTREECOM:
+      sd = _write(sd, adr, d.subtree_com[objid])
+    elif t in (S.JOINTLIMITPOS, S.TENDONLIMITPOS):
+      sd = _write(sd, adr, _limit_row(m, d, t, objid, "posmargin"))
+    elif t == S.E_POTENTIAL:
+      sd = _write(sd, adr, energy_pos(m, d))
+    elif t == S.E_KINETIC:
+      # the oracle evaluates kinetic energy at whichever stage the
+      # compiler assigned (qM is available after fwd_position)
+      sd = _write(sd, adr, energy_vel(m, d))
+    elif t == S.CLOCK:
+      sd = _write(sd, adr, d.time)
+    else:
+      raise NotImplementedError(f"POS sensor {t.name}")
+
+  return d.replace(sensordata=_apply_cutoff(m, sd, _STAGE_POS))
+
+
+def _limit_row(m: Model, d: Data, t, objid: int, what: str):
+  """First active limit row for a joint/tendon (ref sensor.c:295-315)."""
+  from mujoco_inversedynamicstest_tpu.models.types import ConstraintType
+  from mujoco_inversedynamicstest_tpu.ops.constraint import row_layout
+
+  lay = row_layout(m)
+  S = SensorType
+  ctype = (
+      ConstraintType.LIMIT_JOINT
+      if t in (S.JOINTLIMITPOS, S.JOINTLIMITVEL, S.JOINTLIMITFRC)
+      else ConstraintType.LIMIT_TENDON
+  )
+  rows = np.nonzero((lay.efc_type == ctype) & (lay.efc_id == objid))[0]
+  out = jnp.zeros((), dtype=d.qpos.dtype)
+  claimed = jnp.zeros((), dtype=bool)
+  for r in rows:
+    if what == "posmargin":
+      val = d.efc_pos[r] - d.efc_margin[r]
+    elif what == "vel":
+      val = d.efc_J[r] @ d.qvel
+    else:
+      val = d.efc_force[r]
+    take = d.efc_active[r] & ~claimed
+    out = jnp.where(take, val, out)
+    claimed = claimed | d.efc_active[r]
+  return out
 
 
 def sensor_vel(m: Model, d: Data) -> Data:
+  """Velocity-stage sensors (ref ``mj_sensorVel``:527)."""
   if not _enabled(m):
     return d
-  raise NotImplementedError("pending sensor milestone")
+  sd = d.sensordata
+  S = SensorType
+
+  needs_subtree = any(
+      m.sensor_needstage[i] == _STAGE_VEL
+      and m.sensor_type[i] in (S.SUBTREELINVEL, S.SUBTREEANGMOM)
+      for i in range(m.nsensor)
+  )
+  if needs_subtree:
+    sub_linvel, sub_angmom = smooth.subtree_vel(m, d)
+
+  for i in range(m.nsensor):
+    if m.sensor_needstage[i] != _STAGE_VEL:
+      continue
+    t = S(m.sensor_type[i])
+    objid = int(m.sensor_objid[i])
+    objtype = int(m.sensor_objtype[i])
+    refid = int(m.sensor_refid[i])
+    reftype = int(m.sensor_reftype[i])
+    adr = int(m.sensor_adr[i])
+
+    if t == S.JOINTVEL:
+      sd = _write(sd, adr, d.qvel[m.jnt_dofadr[objid]])
+    elif t == S.TENDONVEL:
+      sd = _write(sd, adr, d.ten_velocity[objid])
+    elif t == S.ACTUATORVEL:
+      sd = _write(sd, adr, d.actuator_velocity[objid])
+    elif t == S.BALLANGVEL:
+      sd = _write(sd, adr, d.qvel[m.jnt_dofadr[objid] + np.arange(3)])
+    elif t == S.VELOCIMETER:
+      v = object_velocity(m, d, ObjType.SITE, objid, local=True)
+      sd = _write(sd, adr, v[3:])
+    elif t == S.GYRO:
+      v = object_velocity(m, d, ObjType.SITE, objid, local=True)
+      sd = _write(sd, adr, v[:3])
+    elif t in (S.FRAMELINVEL, S.FRAMEANGVEL):
+      v = object_velocity(m, d, objtype, objid, local=False)
+      if refid >= 0:
+        pos, _ = _frame_pos_mat(m, d, objtype, objid)
+        rpos, rmat = _frame_pos_mat(m, d, reftype, refid)
+        vref = object_velocity(m, d, reftype, refid, local=False)
+        rel = v - vref
+        rel = rel.at[3:].add(jnp.cross(pos - rpos, vref[:3]))
+        v = jnp.concatenate([rmat.T @ rel[:3], rmat.T @ rel[3:]])
+      sd = _write(sd, adr, v[3:] if t == S.FRAMELINVEL else v[:3])
+    elif t == S.SUBTREELINVEL:
+      sd = _write(sd, adr, sub_linvel[objid])
+    elif t == S.SUBTREEANGMOM:
+      sd = _write(sd, adr, sub_angmom[objid])
+    elif t in (S.JOINTLIMITVEL, S.TENDONLIMITVEL):
+      sd = _write(sd, adr, _limit_row(m, d, t, objid, "vel"))
+    elif t == S.E_KINETIC:
+      sd = _write(sd, adr, energy_vel(m, d))
+    else:
+      raise NotImplementedError(f"VEL sensor {t.name}")
+
+  return d.replace(sensordata=_apply_cutoff(m, sd, _STAGE_VEL))
 
 
 def sensor_acc(m: Model, d: Data) -> Data:
+  """Acceleration/force-stage sensors (ref ``mj_sensorAcc``:708)."""
   if not _enabled(m):
     return d
-  raise NotImplementedError("pending sensor milestone")
+  S = SensorType
+
+  needs_rnepost = any(
+      m.sensor_needstage[i] == _STAGE_ACC
+      and m.sensor_type[i] in (
+          S.ACCELEROMETER, S.FORCE, S.TORQUE, S.FRAMELINACC, S.FRAMEANGACC
+      )
+      for i in range(m.nsensor)
+  )
+  if needs_rnepost:
+    d = smooth.rne_postconstraint(m, d)
+  sd = d.sensordata
+
+  for i in range(m.nsensor):
+    if m.sensor_needstage[i] != _STAGE_ACC:
+      continue
+    t = S(m.sensor_type[i])
+    objid = int(m.sensor_objid[i])
+    objtype = int(m.sensor_objtype[i])
+    adr = int(m.sensor_adr[i])
+
+    if t == S.ACTUATORFRC:
+      sd = _write(sd, adr, d.actuator_force[objid])
+    elif t == S.JOINTACTFRC:
+      sd = _write(sd, adr, d.qfrc_actuator[m.jnt_dofadr[objid]])
+    elif t == S.ACCELEROMETER:
+      a = object_acceleration(m, d, ObjType.SITE, objid, local=True)
+      sd = _write(sd, adr, a[3:])
+    elif t in (S.FORCE, S.TORQUE):
+      body = int(m.site_bodyid[objid])
+      root = int(m.body_rootid[body])
+      off = d.site_xpos[objid] - d.subtree_com[root]
+      w = math.transform_force(d.cfrc_int[body], off)
+      mat = d.site_xmat[objid]
+      w = jnp.concatenate([mat.T @ w[:3], mat.T @ w[3:]])
+      sd = _write(sd, adr, w[3:] if t == S.FORCE else w[:3])
+    elif t in (S.FRAMELINACC, S.FRAMEANGACC):
+      a = object_acceleration(m, d, objtype, objid, local=False)
+      sd = _write(sd, adr, a[3:] if t == S.FRAMELINACC else a[:3])
+    elif t in (S.JOINTLIMITFRC, S.TENDONLIMITFRC):
+      sd = _write(sd, adr, _limit_row(m, d, t, objid, "force"))
+    else:
+      raise NotImplementedError(f"ACC sensor {t.name}")
+
+  return d.replace(sensordata=_apply_cutoff(m, sd, _STAGE_ACC))
+
+
+def energy_pos(m: Model, d: Data) -> jax.Array:
+  """Potential energy (ref ``mj_energyPos``:920)."""
+  dtype = d.qpos.dtype
+  e = jnp.zeros((), dtype=dtype)
+  if not (m.opt.disableflags & DisableBit.GRAVITY):
+    e = -jnp.sum(m.body_mass[1:] * (d.xipos[1:] @ m.opt.gravity))
+
+  # joint springs
+  if not (m.opt.disableflags & DisableBit.SPRING):
+    jt = m.jnt_type
+    scalar = np.nonzero(
+        (jt == JointType.HINGE) | (jt == JointType.SLIDE)
+    )[0]
+    if scalar.size:
+      padr = m.jnt_qposadr[scalar]
+      dif = d.qpos[padr] - m.qpos_spring[padr]
+      e = e + 0.5 * jnp.sum(m.jnt_stiffness[scalar] * dif * dif)
+    free = np.nonzero(jt == JointType.FREE)[0]
+    if free.size:
+      pidx = m.jnt_qposadr[free][:, None] + np.arange(3)[None]
+      dif = d.qpos[pidx] - m.qpos_spring[pidx]
+      e = e + 0.5 * jnp.sum(
+          m.jnt_stiffness[free] * jnp.sum(dif * dif, axis=1)
+      )
+    ball = np.nonzero(jt == JointType.BALL)[0]
+    rot = [(ball, 0)] + ([(free, 3)] if free.size else [])
+    for jids, off in rot:
+      if not jids.size:
+        continue
+      pidx = m.jnt_qposadr[jids][:, None] + off + np.arange(4)[None]
+      quat = math.normalize_quat(d.qpos[pidx])
+      dif = math.quat_sub(quat, m.qpos_spring[pidx])
+      e = e + 0.5 * jnp.sum(
+          m.jnt_stiffness[jids] * jnp.sum(dif * dif, axis=1)
+      )
+    # tendon springs (deadband)
+    if m.ntendon:
+      length = d.ten_length
+      lower = m.tendon_lengthspring[:, 0]
+      upper = m.tendon_lengthspring[:, 1]
+      disp = (
+          jnp.where(length > upper, upper - length, 0.0)
+          + jnp.where(length < lower, lower - length, 0.0)
+      )
+      e = e + 0.5 * jnp.sum(m.tendon_stiffness * disp * disp)
+  return e
+
+
+def energy_vel(m: Model, d: Data) -> jax.Array:
+  """Kinetic energy 0.5 qvel' M qvel (ref ``mj_energyVel``:1011)."""
+  return 0.5 * jnp.dot(d.qvel, d.qM @ d.qvel)

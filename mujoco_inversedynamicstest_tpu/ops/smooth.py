@@ -313,16 +313,21 @@ def factor_m(m: Model, d: Data) -> Data:
   """Factorizes qM (dense Cholesky; analog of ``mj_factorM`` ref :1470).
 
   The reference factors sparse LTDL in tree order; on TPU a dense batched
-  Cholesky maps better to the MXU for small nv.  (A level-parallel sparse
-  LTDL kernel is provided separately for large-nv models.)
+  Cholesky maps better: under ``vmap`` the factorization dispatches to the
+  lane-batched Pallas kernel (``ops/linalg.py``) that keeps the whole
+  factorization in VMEM with rollouts on vector lanes.
   """
-  qld = jnp.linalg.cholesky(d.qM)
+  from mujoco_inversedynamicstest_tpu.ops import linalg
+
+  qld = linalg.chol_factor(d.qM)
   return d.replace(qLD=qld)
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   """Solves M y = x using the factorization (analog ``mj_solveM`` ref :1713)."""
-  return jax.scipy.linalg.cho_solve((d.qLD, True), x)
+  from mujoco_inversedynamicstest_tpu.ops import linalg
+
+  return linalg.chol_solve(d.qLD, x)
 
 
 def mul_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
@@ -387,6 +392,41 @@ def com_vel(m: Model, d: Data) -> Data:
     cvel = cvel.at[bodies].set(vel)
 
   return d.replace(cvel=cvel, cdof_dot=cdof_dot)
+
+
+def tendon(m: Model, d: Data) -> Data:
+  """Tendon lengths and moment arms (analog ``mj_tendon``, ref :651).
+
+  Fixed tendons (joint-coupling, wrap type JOINT) are a static linear map:
+  ``len = sum_w prm_w qpos[jnt_w]``, ``J row = prm`` at the joint dofs.
+  Spatial tendons (site/geom wrapping) arrive with the wrapping module.
+  """
+  from mujoco_inversedynamicstest_tpu.models.types import WrapType
+
+  if not m.ntendon:
+    return d
+
+  dtype = d.qpos.dtype
+  lengths = []
+  rows = []
+  for t in range(m.ntendon):
+    adr, num = m.tendon_adr[t], m.tendon_num[t]
+    wtypes = m.wrap_type[adr : adr + num]
+    if not np.all(wtypes == WrapType.JOINT):
+      raise NotImplementedError(
+          "spatial tendon wrapping: pending wrapping module"
+      )
+    jids = m.wrap_objid[adr : adr + num]
+    prm = m.wrap_prm[adr : adr + num]
+    qadr = m.jnt_qposadr[jids]
+    vadr = m.jnt_dofadr[jids]
+    lengths.append(jnp.dot(prm, d.qpos[qadr]))
+    row = jnp.zeros(m.nv, dtype=dtype).at[vadr].add(prm)
+    rows.append(row)
+
+  return d.replace(
+      ten_length=jnp.stack(lengths), ten_J=jnp.stack(rows)
+  )
 
 
 def transmission(m: Model, d: Data) -> Data:
@@ -467,6 +507,148 @@ def transmission(m: Model, d: Data) -> Data:
     )
 
   return d.replace(actuator_length=length, actuator_moment=moment)
+
+
+def subtree_vel(m: Model, d: Data):
+  """Subtree linear velocity and angular momentum.
+
+  Analog of ``mj_subtreeVel`` (ref ``engine_core_smooth.c:1900``).
+  Returns (subtree_linvel, subtree_angmom), each (nbody, 3).
+  """
+  dtype = d.qpos.dtype
+  nb = m.nbody
+
+  # body CoM-frame velocities at xipos
+  off = d.xipos - d.subtree_com[m.body_rootid]
+  ang = d.cvel[:, :3]
+  lin = d.cvel[:, 3:] + jnp.cross(ang, off)
+
+  # subtree linear momentum -> velocity
+  linmom = _tree_sum_up(m, lin * m.body_mass[:, None])
+  subtree_linvel = linmom / jnp.maximum(
+      m.body_subtreemass, math.MINVAL
+  )[:, None]
+
+  # body angular momentum about own CoM (world frame)
+  R = d.ximat
+  iw = R * m.body_inertia[:, None, :] @ jnp.swapaxes(R, -1, -2)
+  angmom_own = jnp.einsum("bij,bj->bi", iw, ang)
+
+  # momentum wrt own subtree CoM + parent-shift terms, accumulated up.
+  # The reference does this serially; level-wise both terms are summed
+  # into the parent along with the child subtotal.
+  dx_b = d.xipos - d.subtree_com
+  dv_b = lin - subtree_linvel
+  own_term = angmom_own + jnp.cross(dx_b, dv_b * m.body_mass[:, None])
+  own_term = own_term.at[0].set(angmom_own[0])
+
+  dx_p = d.subtree_com - d.subtree_com[m.body_parentid]
+  dv_p = subtree_linvel - subtree_linvel[m.body_parentid]
+  parent_term = jnp.cross(
+      dx_p, dv_p * m.body_subtreemass[:, None]
+  )
+
+  angmom = own_term
+  for bodies in reversed(m.tree.body_levels):
+    par = m.body_parentid[bodies]
+    angmom = angmom.at[par].add(angmom[bodies] + parent_term[bodies])
+
+  return subtree_linvel, angmom
+
+
+def rne_postconstraint(m: Model, d: Data) -> Data:
+  """Body accelerations and interaction forces with complete dynamics.
+
+  Analog of ``mj_rnePostConstraint`` (ref ``engine_core_smooth.c:2027``):
+  computes ``cacc`` (including qacc), ``cfrc_ext`` (applied + contact
+  wrenches) and ``cfrc_int`` (interaction forces accumulated up the tree).
+  Used by acceleration-stage sensors (force/torque/accelerometer).
+  """
+  dtype = d.qpos.dtype
+  nb = m.nbody
+
+  # cfrc_ext from xfrc_applied, re-expressed at the body CoM frame
+  offset = d.subtree_com[m.body_rootid] - d.xipos
+  torque = d.xfrc_applied[:, 3:] - jnp.cross(offset, d.xfrc_applied[:, :3])
+  cfrc_ext = jnp.concatenate([torque, d.xfrc_applied[:, :3]], axis=1)
+  cfrc_ext = cfrc_ext.at[0].set(0.0)
+
+  # add contact wrenches
+  if d.contact is not None and d.contact.dist.shape[0]:
+    from mujoco_inversedynamicstest_tpu.ops import collision as coll_mod
+    from mujoco_inversedynamicstest_tpu.ops import constraint as con_mod
+
+    clay = coll_mod.contact_layout(m)
+    lay = con_mod.row_layout(m)
+    base = lay.ne + lay.nf + lay.nl
+    con = d.contact
+    ncon = clay.ncon
+
+    # contact force in contact frame from pyramidal efc forces
+    # (ref mj_contactForce, engine_support.c:1459: normal = sum of pyramid
+    # forces; tangent_k = mu_k * (f_{2k} - f_{2k+1}))
+    forces = jnp.zeros((ncon, 6), dtype=dtype)
+    for slot in range(ncon):
+      condim = int(clay.dim[slot])
+      adr = base + int(clay.efc_address[slot])
+      if condim == 1:
+        forces = forces.at[slot, 0].set(d.efc_force[adr])
+      else:
+        pyr = jax.lax.dynamic_slice(
+            d.efc_force, (adr,), (2 * (condim - 1),)
+        )
+        normal = jnp.sum(pyr)
+        forces = forces.at[slot, 0].set(normal)
+        for k in range(condim - 1):
+          forces = forces.at[slot, 1 + k].set(
+              con.friction[slot, k] * (pyr[2 * k] - pyr[2 * k + 1])
+          )
+
+    # to world frame: frame rows are [n, t1, t2]
+    f_world = jnp.einsum("cij,ci->cj", con.frame, forces[:, :3])
+    t_world = jnp.einsum("cij,ci->cj", con.frame, forces[:, 3:])
+
+    b1 = m.geom_bodyid[clay.geom1]
+    b2 = m.geom_bodyid[clay.geom2]
+    com1 = d.subtree_com[m.body_rootid[b1]]
+    com2 = d.subtree_com[m.body_rootid[b2]]
+
+    def wrench(com):
+      off = com - con.pos
+      t = t_world - jnp.cross(off, f_world)
+      return jnp.concatenate([t, f_world], axis=1)
+
+    active = (con.dist < con.includemargin)[:, None]
+    w1 = -wrench(com1) * active
+    w2 = wrench(com2) * active
+    cfrc_ext = cfrc_ext.at[b1].add(jnp.where((b1 != 0)[:, None], w1, 0.0))
+    cfrc_ext = cfrc_ext.at[b2].add(jnp.where((b2 != 0)[:, None], w2, 0.0))
+
+  # forward pass: cacc with full qacc
+  seg = jnp.asarray(m.dof_bodyid)
+  contrib = d.cdof_dot * d.qvel[:, None] + d.cdof * d.qacc[:, None]
+  body_contrib = jax.ops.segment_sum(contrib, seg, num_segments=nb)
+  if m.opt.disableflags & DisableBit.GRAVITY:
+    g = jnp.zeros(6, dtype=dtype)
+  else:
+    g = jnp.concatenate(
+        [jnp.zeros(3, dtype=dtype), -m.opt.gravity.astype(dtype)]
+    )
+  cacc = jnp.zeros((nb, 6), dtype=dtype).at[0].set(g)
+  for bodies in m.tree.body_levels:
+    cacc = cacc.at[bodies].set(
+        cacc[m.body_parentid[bodies]] + body_contrib[bodies]
+    )
+
+  # cfrc_int = body inertial force - external force, accumulated up
+  cfrc_body = math.inert_mul(d.cinert, cacc) + math.force_cross(
+      d.cvel, math.inert_mul(d.cinert, d.cvel)
+  )
+  cfrc_int = cfrc_body - cfrc_ext
+  cfrc_int = cfrc_int.at[0].set(0.0)
+  cfrc_int = _tree_sum_up(m, cfrc_int).at[0].set(0.0)
+
+  return d.replace(cacc=cacc, cfrc_int=cfrc_int, cfrc_ext=cfrc_ext)
 
 
 def rne(m: Model, d: Data, flg_acc: bool = False) -> jax.Array:

@@ -119,12 +119,14 @@ def _refresh_gradient(m: Model, d: Data, st: _State) -> _State:
   ``M + J' diag(D·quad) J`` (ref ``MakeHessian``/``FactorizeHessian``,
   engine_solver.c:1387/1501); CG with M itself.
   """
+  from mujoco_inversedynamicstest_tpu.ops import linalg
+
   grad = st.Ma - d.qfrc_smooth - st.qfrc_constraint
   if m.opt.solver == SolverType.NEWTON:
     dd = d.efc_D * st.quad_mask
     hess = d.qM + (d.efc_J.T * dd) @ d.efc_J
-    chol = jnp.linalg.cholesky(hess)
-    mgrad = jax.scipy.linalg.cho_solve((chol, True), grad)
+    chol = linalg.chol_factor(hess)
+    mgrad = linalg.chol_solve(chol, grad)
   else:
     mgrad = smooth.solve_m(m, d, grad)
   return st._replace(grad=grad, mgrad=mgrad)
@@ -196,8 +198,12 @@ def _linesearch(m: Model, d: Data, st: _State) -> _State:
   lo = jax.tree.map(lambda a, b: jnp.where(pick_pn, b, a), p0, pn)
   hi = jax.tree.map(lambda a, b: jnp.where(pick_pn, a, b), p0, pn)
 
-  def ls_body(carry, _):
-    lo, hi, live = carry
+  def ls_cond(carry):
+    lo, hi, live, it = carry
+    return live & (it < m.opt.ls_iterations)
+
+  def ls_body(carry):
+    lo, hi, live, it = carry
 
     cand_lo = phi(lo.alpha - lo.d0 / lo.d1)
     cand_hi = phi(hi.alpha - hi.d0 / hi.d1)
@@ -212,22 +218,22 @@ def _linesearch(m: Model, d: Data, st: _State) -> _State:
 
     moved = jnp.asarray(False)
     for cand in (cand_lo, cand_mid, cand_hi):
-      take_lo = shrinks(lo.d0, cand.d0) & live
+      take_lo = shrinks(lo.d0, cand.d0)
       lo = jax.tree.map(lambda a, b, t=take_lo: jnp.where(t, b, a), lo, cand)
       moved = moved | take_lo
     for cand in (cand_hi, cand_mid, cand_lo):
-      take_hi = shrinks(hi.d0, cand.d0) & live
+      take_hi = shrinks(hi.d0, cand.d0)
       hi = jax.tree.map(lambda a, b, t=take_hi: jnp.where(t, b, a), hi, cand)
       moved = moved | take_hi
 
     done = ~moved
     done |= (lo.d0 < 0) & (lo.d0 > -gtol)
     done |= (hi.d0 > 0) & (hi.d0 < gtol)
-    return (lo, hi, live & ~done), None
+    return (lo, hi, live & ~done, it + 1)
 
-  (lo, hi, _), _ = jax.lax.scan(
-      ls_body, (lo, hi, jnp.asarray(True)), None,
-      length=max(1, m.opt.ls_iterations),
+  (lo, hi, _, _) = jax.lax.while_loop(
+      ls_cond, ls_body,
+      (lo, hi, jnp.asarray(True), jnp.asarray(0, dtype=jnp.int32)),
   )
 
   improved = (lo.cost < p0.cost) | (hi.cost < p0.cost)
@@ -255,13 +261,20 @@ def solve(m: Model, d: Data) -> Data:
 
   st = _eval_state(m, d, qacc0, with_grad=True)
 
+  # below ~10 ulp the cost comparison is float noise; floor the tolerance
+  # so low-precision runs terminate (no-op in f64 for typical tolerances)
+  tol = jnp.maximum(
+      jnp.asarray(m.opt.tolerance, dtype=dtype),
+      10 * jnp.finfo(dtype).eps,
+  )
+
   def converged(st: _State):
     scale = m.stat_meaninertia * max(1, m.nv)
     improvement = (st.prev_cost - st.cost) / scale
     gradient = math.norm_safe(st.grad) / scale
     done = st.niter >= m.opt.iterations
-    done |= improvement < m.opt.tolerance
-    done |= gradient < m.opt.tolerance
+    done |= improvement < tol
+    done |= gradient < tol
     return ~done
 
   def iterate(st: _State) -> _State:

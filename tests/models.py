@@ -255,7 +255,7 @@ ALL_CONSTRAINED = {
 
 ALL_SMOOTH = {
     "pendulum": PENDULUM,
-    "nlink": NLINK,
+    "nlink": NLINK_NOCON,
     "freebody": FREEBODY,
     "multijoint": MULTIJOINT,
 }
