@@ -233,6 +233,27 @@ class EnableBit(enum.IntFlag):
   INVDISCRETE = 1 << 3
 
 
+class StateFlag(enum.IntFlag):
+  """mjtState: state-vector component flags (ref ``mjdata.h:27-49``)."""
+  TIME = 1 << 0
+  QPOS = 1 << 1
+  QVEL = 1 << 2
+  ACT = 1 << 3
+  WARMSTART = 1 << 4
+  CTRL = 1 << 5
+  QFRC_APPLIED = 1 << 6
+  XFRC_APPLIED = 1 << 7
+  EQ_ACTIVE = 1 << 8
+  MOCAP_POS = 1 << 9
+  MOCAP_QUAT = 1 << 10
+
+  PHYSICS = QPOS | QVEL | ACT
+  FULLPHYSICS = TIME | QPOS | QVEL | ACT
+  USER = (CTRL | QFRC_APPLIED | XFRC_APPLIED | EQ_ACTIVE | MOCAP_POS
+          | MOCAP_QUAT)
+  INTEGRATION = FULLPHYSICS | USER | WARMSTART
+
+
 @pytree
 class Option:
   """Physics options: the analog of ``mjOption``.

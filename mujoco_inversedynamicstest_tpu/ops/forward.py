@@ -311,11 +311,53 @@ def rungekutta4(m: Model, d: Data) -> Data:
   return _advance(m, d0, dact, dqacc, qvel_for_pos=dqvel)
 
 
+def smooth_vel_deriv(m: Model, d: Data, flg_bias: bool = True,
+                     flg_actuation: bool = True) -> jax.Array:
+  """qDeriv = d(qfrc_actuator + qfrc_passive - qfrc_bias)/dqvel, (nv, nv).
+
+  Analog of ``mjd_smooth_vel`` (reference ``engine_derivative.c:1522``),
+  which hand-assembles sparse spatial-algebra derivatives; here it is one
+  ``jax.jacfwd`` through the velocity/actuation stages — exact and fused.
+  ``flg_bias=False`` drops the RNE/Coriolis term (the IMPLICITFAST
+  approximation).  ``d`` must hold a completed position stage.
+  """
+
+  def f(qvel):
+    dd = d.replace(qvel=qvel)
+    dd = fwd_velocity(m, dd)
+    out = dd.qfrc_passive
+    if flg_bias:
+      out = out - dd.qfrc_bias
+    if flg_actuation:
+      dd = fwd_actuation(m, dd)
+      out = out + dd.qfrc_actuator
+    return out
+
+  return jax.jacfwd(f)(d.qvel)
+
+
 def implicit(m: Model, d: Data) -> Data:
-  """Implicit-in-velocity integrators (ref ``mj_implicitSkip``:948)."""
-  raise NotImplementedError(
-      "implicit/implicitfast integrators: pending qDeriv (mjd_smooth_vel)"
-  )
+  """Implicit-in-velocity integrators (ref ``mj_implicitSkip``:948).
+
+  Solves ``(M - h*qDeriv) qacc' = qfrc_smooth + qfrc_constraint``.
+  IMPLICIT uses the full qDeriv (incl. Coriolis) with a dense LU;
+  IMPLICITFAST drops the Coriolis term and symmetrizes so a Cholesky
+  solve suffices (the reference reduces to M-sparsity and Cholesky-
+  factors, ``engine_forward.c:948-1026``).
+  """
+  from mujoco_inversedynamicstest_tpu.ops import linalg
+
+  integrator = IntegratorType(m.opt.integrator)
+  full = integrator == IntegratorType.IMPLICIT
+  qderiv = smooth_vel_deriv(m, d, flg_bias=full, flg_actuation=True)
+  mh = d.qM - m.opt.timestep * qderiv
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  if full:
+    qacc = jnp.linalg.solve(mh, qfrc)
+  else:
+    mh = 0.5 * (mh + mh.T)
+    qacc = linalg.chol_solve(linalg.chol_factor(mh), qfrc)
+  return _advance(m, d, d.act_dot, qacc)
 
 
 # mjMAXVAL (reference include/mujoco/mjmodel.h): state-validity bound

@@ -55,8 +55,9 @@ def discrete_acc(m: Model, d: Data) -> jax.Array:
   """Maps discrete-time qacc to continuous for INVDISCRETE mode.
 
   Analog of ``mj_discreteAcc`` (ref ``engine_inverse.c:81``).  EULER:
-  solves ``M qacc' = (M + h diag(B)) qacc``.  IMPLICIT/IMPLICITFAST pend
-  the qDeriv module; RK4 is unsupported (as in the reference :90-93).
+  solves ``M qacc' = (M + h diag(B)) qacc``.  IMPLICIT/IMPLICITFAST:
+  ``M qacc' = (M - h qDeriv) qacc`` with qDeriv from autodiff
+  (ref :120-157).  RK4 is unsupported (as in the reference :90-93).
   """
   integrator = IntegratorType(m.opt.integrator)
   if integrator == IntegratorType.RK4:
@@ -71,9 +72,13 @@ def discrete_acc(m: Model, d: Data) -> jax.Array:
         m.opt.timestep * m.dof_damping * d.qacc
     )
     return smooth.solve_m(m, d, qfrc)
-  raise NotImplementedError(
-      "discrete inverse for implicit integrators: pending qDeriv module"
-  )
+  # implicit / implicitfast
+  full = integrator == IntegratorType.IMPLICIT
+  qderiv = forward_mod.smooth_vel_deriv(m, d, flg_bias=full)
+  mh = d.qM - m.opt.timestep * qderiv
+  if not full:
+    mh = 0.5 * (mh + mh.T)
+  return smooth.solve_m(m, d, mh @ d.qacc)
 
 
 def inv_constraint(m: Model, d: Data) -> Data:

@@ -164,12 +164,18 @@ def quat_sub(qa: jax.Array, qb: jax.Array):
   """
   qdif = quat_mul(quat_conj(qb), qa)
   qdif = qdif * jnp.where(qdif[..., 0:1] < 0, -1.0, 1.0)  # shortest arc
-  sin_half = norm_safe(qdif[..., 1:4])
-  angle = 2.0 * jnp.arctan2(sin_half, qdif[..., 0])
-  axis = qdif[..., 1:4] / sin_half[..., None]
-  small = sin_half < 1e-12
-  return jnp.where(small[..., None], jnp.zeros_like(axis),
-                   axis * angle[..., None])
+  v = qdif[..., 1:4]
+  w = qdif[..., 0]
+  s2 = jnp.sum(v * v, axis=-1)
+  s = jnp.sqrt(jnp.maximum(s2, jnp.finfo(qdif.dtype).tiny))
+  # rotvec = v * k with k = 2*atan2(s, w)/s; near s=0 use the Taylor
+  # expansion k = 2/w - 2*s^2/(3*w^3), keeping the map (and its jvp —
+  # needed by transition_ad / jacfwd) smooth through zero rotation.
+  small = s2 < 1e-12
+  k_exact = 2.0 * jnp.arctan2(s, w) / jnp.where(small, 1.0, s)
+  k_taylor = 2.0 / w - 2.0 * s2 / (3.0 * w**3)
+  k = jnp.where(small, k_taylor, k_exact)
+  return v * k[..., None]
 
 
 # ---------------------------------------------------------------------------

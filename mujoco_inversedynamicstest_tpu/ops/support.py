@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mujoco_inversedynamicstest_tpu.models.types import Data, JointType, Model
+from mujoco_inversedynamicstest_tpu.models.types import (
+    Data,
+    JointType,
+    Model,
+    StateFlag,
+)
 from mujoco_inversedynamicstest_tpu.ops import math
 
 
@@ -208,3 +213,72 @@ def object_velocity(m: Model, d: Data, bodyid, point: jax.Array,
   offset = point - d.subtree_com[jnp.asarray(m.body_rootid)[bodyid]]
   vel = math.transform_motion(cvel, offset)
   return vel
+
+
+# ---------------------------------------------------------------------------
+# state vector API (checkpoint/rollout interface)
+# ---------------------------------------------------------------------------
+
+# (flag, Data field, size expression) in the reference's canonical order
+# (ref engine_support.c:106-141 mj_stateSize/mj_getState/mj_setState)
+_STATE_FIELDS = (
+    (StateFlag.TIME, "time", lambda m: 1, None),
+    (StateFlag.QPOS, "qpos", lambda m: m.nq, None),
+    (StateFlag.QVEL, "qvel", lambda m: m.nv, None),
+    (StateFlag.ACT, "act", lambda m: m.na, None),
+    (StateFlag.WARMSTART, "qacc_warmstart", lambda m: m.nv, None),
+    (StateFlag.CTRL, "ctrl", lambda m: m.nu, None),
+    (StateFlag.QFRC_APPLIED, "qfrc_applied", lambda m: m.nv, None),
+    (StateFlag.XFRC_APPLIED, "xfrc_applied", lambda m: 6 * m.nbody,
+     (-1, 6)),
+    (StateFlag.EQ_ACTIVE, "eq_active", lambda m: m.neq, None),
+    (StateFlag.MOCAP_POS, "mocap_pos", lambda m: 3 * m.nmocap, (-1, 3)),
+    (StateFlag.MOCAP_QUAT, "mocap_quat", lambda m: 4 * m.nmocap, (-1, 4)),
+)
+
+
+def state_size(m: Model, spec: int) -> int:
+  """Size of a state vector (analog of ``mj_stateSize``,
+  ref ``engine_support.c:157``)."""
+  return sum(sz(m) for flag, _, sz, _ in _STATE_FIELDS if spec & flag)
+
+
+def get_state(m: Model, d: Data, spec: int = StateFlag.FULLPHYSICS):
+  """Flattened state vector for the given component spec (analog of
+  ``mj_getState``, ref ``engine_support.c:176``)."""
+  parts = []
+  for flag, field, sz, _ in _STATE_FIELDS:
+    if spec & flag:
+      val = getattr(d, field)
+      val = jnp.atleast_1d(jnp.asarray(val, dtype=d.qpos.dtype))
+      parts.append(val.reshape(-1))
+      assert parts[-1].shape[0] == sz(m), field
+  return jnp.concatenate(parts) if parts else jnp.zeros(
+      0, dtype=d.qpos.dtype
+  )
+
+
+def set_state(m: Model, d: Data, state: jax.Array,
+              spec: int = StateFlag.FULLPHYSICS) -> Data:
+  """Writes a flattened state vector into ``d`` (analog of
+  ``mj_setState``, ref ``engine_support.c:208``)."""
+  updates = {}
+  adr = 0
+  for flag, field, sz, reshape in _STATE_FIELDS:
+    if not spec & flag:
+      continue
+    n = sz(m)
+    chunk = state[adr:adr + n]
+    adr += n
+    cur = getattr(d, field)
+    if field == "time":
+      updates[field] = chunk[0]
+    elif field == "eq_active":
+      updates[field] = (
+          (chunk > 0.5) if cur.dtype == jnp.bool_ else chunk.astype(cur.dtype)
+      )
+    elif reshape is not None:
+      updates[field] = chunk.reshape(reshape).astype(cur.dtype)
+    else:
+      updates[field] = chunk.astype(cur.dtype)
+  return d.replace(**updates)
