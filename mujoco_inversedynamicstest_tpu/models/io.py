@@ -281,6 +281,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       tendon_limited=_np(mjm.tendon_limited),
       wrap_type=_np(mjm.wrap_type),
       wrap_objid=_np(mjm.wrap_objid),
+      wrap_prm_np=_np(mjm.wrap_prm),
       sensor_cutoff=_jx(mjm.sensor_cutoff, dtype),
       sensor_type=_np(mjm.sensor_type),
       sensor_datatype=_np(mjm.sensor_datatype),

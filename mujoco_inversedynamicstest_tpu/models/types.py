@@ -463,6 +463,8 @@ class Model:
   tendon_limited: np.ndarray = static_field(default=None)
   wrap_type: np.ndarray = static_field(default=None)
   wrap_objid: np.ndarray = static_field(default=None)
+  wrap_prm_np: np.ndarray = static_field(default=None)  # host copy: sidesite
+  # ids for geom wraps, pulley divisors, joint coefficients
 
   # ------- sensors -------
   sensor_cutoff: jax.Array = None     # (nsensor,)

@@ -40,6 +40,7 @@ _PAIR_SLOTS = {
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
     (GeomType.PLANE, GeomType.BOX): 4,
+    (GeomType.PLANE, GeomType.CYLINDER): 4,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
@@ -257,6 +258,63 @@ def _plane_box(p1, m1, s1, p2, m2, s2, margin):
   return dist, pos, n, z
 
 
+def _plane_cylinder(p1, m1, s1, p2, m2, s2, margin):
+  """Plane-cylinder: rim point, opposite rim point, two side points.
+
+  Branchless analog of ``mjc_PlaneCylinder`` (reference
+  ``engine_collision_primitive.c:95``): up to 4 contacts — nearest rim
+  point, the axially opposite rim point, and a flanking triangle pair —
+  each gated by its own margin test plus the reference's early-exit on the
+  first point.
+  """
+  dtype = p1.dtype
+  nrm = m1[:, 2]
+  axis = m2[:, 2]
+  prjaxis = jnp.dot(nrm, axis)
+  # axis points towards the plane
+  axis = jnp.where(prjaxis > 0, -axis, axis)
+  prjaxis = -jnp.abs(prjaxis)
+
+  dist0 = jnp.dot(p2 - p1, nrm)
+
+  # radial direction: -normal with the axis component removed
+  vec = axis * prjaxis - nrm
+  len_sqr = jnp.dot(vec, vec)
+  vec_disk = m2[:, 0] * s2[0]  # disk parallel to plane: any radial dir
+  scl = s2[0] / jnp.sqrt(jnp.maximum(len_sqr, 1e-30))
+  vec = jnp.where(len_sqr >= 1e-24, vec * scl, vec_disk)
+
+  prjvec = jnp.dot(vec, nrm)
+  haxis = axis * s2[1]
+  prjaxis_h = prjaxis * s2[1]
+
+  d1 = dist0 + prjaxis_h + prjvec          # nearest rim point
+  d2 = dist0 - prjaxis_h + prjvec          # opposite rim point
+  prjvec1 = -prjvec * 0.5
+  d34 = dist0 + prjaxis_h + prjvec1        # flanking pair (shared depth)
+
+  pos1 = p2 + vec + haxis - nrm * (d1 * 0.5)
+  pos2 = p2 + vec - haxis - nrm * (d2 * 0.5)
+  side = jnp.cross(vec, axis)
+  side = side / jnp.maximum(jnp.linalg.norm(side), 1e-15)
+  side = side * (s2[0] * jnp.sqrt(3.0) / 2)
+  base34 = p2 + haxis - vec * 0.5 - nrm * (d34 * 0.5)
+  pos3 = base34 + side
+  pos4 = base34 - side
+
+  gate1 = d1 <= margin                      # reference early-exit
+  dist = jnp.stack([
+      jnp.where(gate1, d1, _BIG),
+      jnp.where(gate1 & (d2 <= margin), d2, _BIG),
+      jnp.where(gate1 & (d34 <= margin), d34, _BIG),
+      jnp.where(gate1 & (d34 <= margin), d34, _BIG),
+  ])
+  pos = jnp.stack([pos1, pos2, pos3, pos4])
+  n = jnp.tile(nrm[None], (4, 1))
+  z = jnp.zeros((4, 3), dtype=dtype)
+  return dist, pos, n, z
+
+
 def _sphere_sphere_raw(p1, r1, p2, r2, fallback_n):
   dif = p2 - p1
   length = math.norm_safe(dif)
@@ -359,6 +417,7 @@ _NARROWPHASE: dict = {
     (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
     (GeomType.PLANE, GeomType.BOX): _plane_box,
+    (GeomType.PLANE, GeomType.CYLINDER): _plane_cylinder,
     (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
     (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
     (GeomType.SPHERE, GeomType.BOX): _sphere_box,

@@ -30,6 +30,7 @@ from mujoco_inversedynamicstest_tpu.ops import smooth, support
 from mujoco_inversedynamicstest_tpu.ops import constraint as constraint_mod
 from mujoco_inversedynamicstest_tpu.ops import solver as solver_mod
 from mujoco_inversedynamicstest_tpu.ops import sensor as sensor_mod
+from mujoco_inversedynamicstest_tpu.ops import wrap as wrap_mod
 
 
 def fwd_position(m: Model, d: Data) -> Data:
@@ -141,14 +142,18 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         tau = jnp.maximum(m.actuator_dynprm[i, 0], math.MINVAL)
         act_dot = act_dot.at[slot].set((ctrl[i] - d.act[slot]) / tau)
       elif dyn == DynType.MUSCLE:
-        raise NotImplementedError("muscle dynamics: pending tendon module")
+        act_dot = act_dot.at[slot].set(
+            wrap_mod.muscle_dynamics(ctrl[i], d.act[slot],
+                                     m.actuator_dynprm[i, :3]))
 
   # --- gain and bias ---
   gaintype = m.actuator_gaintype
   biastype = m.actuator_biastype
-  if not np.all(np.isin(gaintype, (GainType.FIXED, GainType.AFFINE))):
+  if not np.all(
+      np.isin(gaintype, (GainType.FIXED, GainType.AFFINE, GainType.MUSCLE))):
     raise NotImplementedError(f"gain types {set(gaintype)}")
-  if not np.all(np.isin(biastype, (BiasType.NONE, BiasType.AFFINE))):
+  if not np.all(
+      np.isin(biastype, (BiasType.NONE, BiasType.AFFINE, BiasType.MUSCLE))):
     raise NotImplementedError(f"bias types {set(biastype)}")
 
   gp, bp = m.actuator_gainprm, m.actuator_biasprm
@@ -164,6 +169,21 @@ def fwd_actuation(m: Model, d: Data) -> Data:
       bp[:, 0] + bp[:, 1] * d.actuator_length + bp[:, 2] * d.actuator_velocity,
       0.0,
   )
+
+  # muscle FLV gain / passive bias (ref mju_muscleGain/Bias; vmapped group)
+  mus_g = np.nonzero(gaintype == GainType.MUSCLE)[0]
+  if mus_g.size:
+    vals = jax.vmap(wrap_mod.muscle_gain)(
+        d.actuator_length[mus_g], d.actuator_velocity[mus_g],
+        m.actuator_lengthrange[mus_g], m.actuator_acc0[mus_g],
+        gp[mus_g, :9])
+    gain = gain.at[mus_g].set(vals)
+  mus_b = np.nonzero(biastype == BiasType.MUSCLE)[0]
+  if mus_b.size:
+    vals = jax.vmap(wrap_mod.muscle_bias)(
+        d.actuator_length[mus_b], m.actuator_lengthrange[mus_b],
+        m.actuator_acc0[mus_b], bp[mus_b, :9])
+    bias = bias.at[mus_b].set(vals)
 
   # --- input: ctrl for stateless, last activation for stateful ---
   act_input = ctrl

@@ -394,12 +394,108 @@ def com_vel(m: Model, d: Data) -> Data:
   return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
+def _tendon_segment(m: Model, d: Data, p0, b0: int, p1, b1: int):
+  """Length + moment row of one straight tendon segment.
+
+  ``d len/d q = dir^T (Jp(p1,b1) − Jp(p0,b0))`` with ``dir`` the unit segment
+  direction (reference ``mj_tendon`` segment loop, engine_core_smooth.c:651).
+  Bodies are static ints, so same-body segments fold to zero at trace time.
+  """
+  from mujoco_inversedynamicstest_tpu.ops import support
+
+  dif = p1 - p0
+  ln = jnp.linalg.norm(dif)
+  if b0 == b1:
+    return ln, jnp.zeros(m.nv, dtype=p0.dtype)
+  vec = jnp.where(ln < 1e-15, jnp.array([1.0, 0.0, 0.0], dtype=p0.dtype),
+                  dif / jnp.maximum(ln, 1e-15))
+  jacp0, _ = support.jac(m, d, p0, b0)
+  jacp1, _ = support.jac(m, d, p1, b1)
+  return ln, (jacp1 - jacp0) @ vec
+
+
+def _spatial_tendon(m: Model, d: Data, adr: int, num: int):
+  """One spatial tendon: sites, sphere/cylinder wrap geoms, pulleys."""
+  from mujoco_inversedynamicstest_tpu.models.types import WrapType
+  from mujoco_inversedynamicstest_tpu.ops import wrap as wrap_mod
+
+  dtype = d.qpos.dtype
+  length = jnp.zeros((), dtype=dtype)
+  row = jnp.zeros(m.nv, dtype=dtype)
+
+  # split the wrap sequence into pulley-delimited branches, each with its
+  # length divisor (reference engine_core_smooth.c: pulley handling)
+  branches = []  # (divisor, [element ids])
+  divisor, cur = 1.0, []
+  for i in range(adr, adr + num):
+    if m.wrap_type[i] == WrapType.PULLEY:
+      if cur:
+        branches.append((divisor, cur))
+      divisor = max(float(m.wrap_prm_np[i]), 1e-15)
+      cur = []
+    else:
+      cur.append(i)
+  if cur:
+    branches.append((divisor, cur))
+
+  for divisor, elems in branches:
+    # point list: sites pass through; wrap geoms expand to two tangent
+    # points with a data-dependent arc — handled per site-geom-site triple
+    j = 0
+    while j < len(elems) - 1:
+      i0 = elems[j]
+      assert m.wrap_type[i0] == WrapType.SITE, "tendon path must alternate"
+      s0 = m.wrap_objid[i0]
+      b0 = int(m.site_bodyid[s0])
+      p0 = d.site_xpos[s0]
+      i1 = elems[j + 1]
+      if m.wrap_type[i1] == WrapType.SITE:
+        s1 = m.wrap_objid[i1]
+        ln, jr = _tendon_segment(m, d, p0, b0, d.site_xpos[s1],
+                                 int(m.site_bodyid[s1]))
+        length += ln / divisor
+        row += jr / divisor
+        j += 1
+      else:  # SPHERE or CYLINDER wrap between two sites
+        gid = m.wrap_objid[i1]
+        bg = int(m.geom_bodyid[gid])
+        is_sphere = m.wrap_type[i1] == WrapType.SPHERE
+        sid = int(round(float(m.wrap_prm_np[i1])))
+        has_side = sid >= 0
+        side = d.site_xpos[max(sid, 0)]
+        i2 = elems[j + 2]
+        assert m.wrap_type[i2] == WrapType.SITE, "wrap geom needs site after"
+        s1 = m.wrap_objid[i2]
+        b1 = int(m.site_bodyid[s1])
+        p1 = d.site_xpos[s1]
+
+        wlen, w0, w1 = wrap_mod.wrap(
+            p0, p1, d.geom_xpos[gid], d.geom_xmat[gid], m.geom_size[gid, 0],
+            side, jnp.asarray(has_side), bool(is_sphere))
+        no_wrap = wlen < 0
+
+        l_ss, j_ss = _tendon_segment(m, d, p0, b0, p1, b1)
+        l_sg, j_sg = _tendon_segment(m, d, p0, b0, w0, bg)
+        l_gs, j_gs = _tendon_segment(m, d, w1, bg, p1, b1)
+
+        ln = jnp.where(no_wrap, l_ss, l_sg + jnp.maximum(wlen, 0.0) + l_gs)
+        jr = jnp.where(no_wrap, j_ss, j_sg + j_gs)
+        length += ln / divisor
+        row += jr / divisor
+        j += 2
+
+  return length, row
+
+
 def tendon(m: Model, d: Data) -> Data:
   """Tendon lengths and moment arms (analog ``mj_tendon``, ref :651).
 
   Fixed tendons (joint-coupling, wrap type JOINT) are a static linear map:
   ``len = sum_w prm_w qpos[jnt_w]``, ``J row = prm`` at the joint dofs.
-  Spatial tendons (site/geom wrapping) arrive with the wrapping module.
+  Spatial tendons thread straight segments through sites with
+  sphere/cylinder wrapping (incl. sidesites and pulleys); the wrap geometry
+  lives in ``ops/wrap.py``.  Tendons are few and heterogeneous, so they are
+  unrolled at trace time; each one is a handful of fused vector ops.
   """
   from mujoco_inversedynamicstest_tpu.models.types import WrapType
 
@@ -412,17 +508,18 @@ def tendon(m: Model, d: Data) -> Data:
   for t in range(m.ntendon):
     adr, num = m.tendon_adr[t], m.tendon_num[t]
     wtypes = m.wrap_type[adr : adr + num]
-    if not np.all(wtypes == WrapType.JOINT):
-      raise NotImplementedError(
-          "spatial tendon wrapping: pending wrapping module"
-      )
-    jids = m.wrap_objid[adr : adr + num]
-    prm = m.wrap_prm[adr : adr + num]
-    qadr = m.jnt_qposadr[jids]
-    vadr = m.jnt_dofadr[jids]
-    lengths.append(jnp.dot(prm, d.qpos[qadr]))
-    row = jnp.zeros(m.nv, dtype=dtype).at[vadr].add(prm)
-    rows.append(row)
+    if np.all(wtypes == WrapType.JOINT):
+      jids = m.wrap_objid[adr : adr + num]
+      prm = m.wrap_prm[adr : adr + num]
+      qadr = m.jnt_qposadr[jids]
+      vadr = m.jnt_dofadr[jids]
+      lengths.append(jnp.dot(prm, d.qpos[qadr]))
+      row = jnp.zeros(m.nv, dtype=dtype).at[vadr].add(prm)
+      rows.append(row)
+    else:
+      ln, row = _spatial_tendon(m, d, int(adr), int(num))
+      lengths.append(ln)
+      rows.append(row)
 
   return d.replace(
       ten_length=jnp.stack(lengths), ten_J=jnp.stack(rows)
@@ -453,11 +550,13 @@ def transmission(m: Model, d: Data) -> Data:
   joint_like = np.isin(
       trntype, (TrnType.JOINT, TrnType.JOINTINPARENT)
   )
+  # trnid indexes joints only for joint transmissions; clip others to 0
+  jnt_of = m.jnt_type[np.where(joint_like, trnid, 0)]
 
   # --- scalar joints (hinge/slide): length = qpos * gear0, moment = gear0
   sel = np.nonzero(
       joint_like
-      & np.isin(m.jnt_type[trnid], (JointType.HINGE, JointType.SLIDE))
+      & np.isin(jnt_of, (JointType.HINGE, JointType.SLIDE))
   )[0]
   if sel.size:
     jid = trnid[sel]
@@ -466,7 +565,7 @@ def transmission(m: Model, d: Data) -> Data:
     moment = moment.at[sel, m.jnt_dofadr[jid]].set(g0)
 
   # --- ball joints: 3D rotational gear
-  sel = np.nonzero(joint_like & (m.jnt_type[trnid] == JointType.BALL))[0]
+  sel = np.nonzero(joint_like & (jnt_of == JointType.BALL))[0]
   if sel.size:
     jid = trnid[sel]
     qidx = m.jnt_qposadr[jid][:, None] + np.arange(4)[None, :]
@@ -482,7 +581,7 @@ def transmission(m: Model, d: Data) -> Data:
     moment = moment.at[sel[:, None], vidx].set(gear_axis)
 
   # --- free joints: 6D wrench gear, zero length
-  sel = np.nonzero(joint_like & (m.jnt_type[trnid] == JointType.FREE))[0]
+  sel = np.nonzero(joint_like & (jnt_of == JointType.FREE))[0]
   if sel.size:
     jid = trnid[sel]
     qidx = m.jnt_qposadr[jid][:, None] + 3 + np.arange(4)[None, :]
@@ -499,7 +598,32 @@ def transmission(m: Model, d: Data) -> Data:
         jnp.concatenate([m.actuator_gear[sel, 0:3], gear_axis], axis=-1)
     )
 
-  unsupported = np.nonzero(~joint_like)[0]
+  # --- tendon transmission: length/moment from the tendon module
+  # (reference engine_core_smooth.c:865 mjTRN_TENDON branch)
+  sel = np.nonzero(trntype == TrnType.TENDON)[0]
+  if sel.size:
+    tid = trnid[sel]
+    g0 = m.actuator_gear[sel, 0]
+    length = length.at[sel].set(d.ten_length[tid] * g0)
+    moment = moment.at[sel].set(g0[:, None] * d.ten_J[tid])
+
+  # --- site transmission: wrench gear applied at the site frame
+  # (reference mjTRN_SITE without refsite: length = 0, moment = gear·J_site)
+  sel = np.nonzero(trntype == TrnType.SITE)[0]
+  if sel.size:
+    from mujoco_inversedynamicstest_tpu.ops import support
+    for i in sel:
+      sid = trnid[i]
+      bid = int(m.site_bodyid[sid])
+      jacp, jacr = support.jac(m, d, d.site_xpos[sid], bid)
+      smat = d.site_xmat[sid]
+      gear_t = smat @ m.actuator_gear[i, 0:3]
+      gear_r = smat @ m.actuator_gear[i, 3:6]
+      moment = moment.at[i].set(jacp @ gear_t + jacr @ gear_r)
+
+  unsupported = np.nonzero(
+      ~joint_like & ~np.isin(trntype, (TrnType.TENDON, TrnType.SITE))
+  )[0]
   if unsupported.size:
     raise NotImplementedError(
         f"actuator transmission types {set(trntype[unsupported])} not yet "

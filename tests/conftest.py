@@ -22,3 +22,9 @@ import jax  # noqa: E402
 # backend) before this file runs, so the env var alone is not enough.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is dominated by XLA compiles of
+# the step/solver graphs; caching them makes repeat runs (CI, driver) fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
