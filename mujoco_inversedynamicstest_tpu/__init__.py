@@ -13,6 +13,14 @@ from mujoco_inversedynamicstest_tpu.models.io import (
     put_data,
     put_model,
 )
+from mujoco_inversedynamicstest_tpu.models.interop import (
+    get_data,
+    get_data_batch,
+    id2name,
+    name2id,
+    nkey,
+    reset_data_keyframe,
+)
 from mujoco_inversedynamicstest_tpu.models.types import (
     BiasType,
     ConeType,

@@ -119,6 +119,22 @@ def build_tree_layout(
   )
 
 
+def _geom_visible(mjm) -> np.ndarray:
+  """Effective visibility (α > 0) per geom, resolving material overrides.
+
+  Mirrors the invisibility exclusions of ``ray_eliminate`` (reference
+  ``src/engine/engine_ray.c``).
+  """
+  if not mjm.ngeom:
+    return np.zeros(0, dtype=bool)
+  own = _np(mjm.geom_rgba)[:, 3] > 0
+  matid = _np(mjm.geom_matid)
+  if getattr(mjm, "nmat", 0):
+    mat_alpha = _np(mjm.mat_rgba)[np.maximum(matid, 0), 3] > 0
+    return np.where(matid >= 0, mat_alpha, own)
+  return own
+
+
 def put_option(mj_opt, dtype) -> Option:
   return Option(
       timestep=jnp.asarray(mj_opt.timestep, dtype=dtype),
@@ -227,6 +243,8 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       geom_rbound=_jx(mjm.geom_rbound, dtype),
       geom_type=_np(mjm.geom_type),
       geom_bodyid=_np(mjm.geom_bodyid),
+      geom_group=_np(mjm.geom_group),
+      geom_visible=_geom_visible(mjm),
       geom_contype=_np(mjm.geom_contype),
       geom_conaffinity=_np(mjm.geom_conaffinity),
       geom_condim=_np(mjm.geom_condim),
@@ -306,6 +324,10 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       pair_friction=_jx(mjm.pair_friction, dtype),
       exclude_signature=_np(mjm.exclude_signature),
       has_dof_damping=bool(np.any(_np(mjm.dof_damping) > 0)),
+      has_fluid=bool(
+          mjm.opt.density > 0 or mjm.opt.viscosity > 0
+          or np.any(np.asarray(mjm.opt.wind) != 0)
+      ),
       dof_frictionloss_nz=_np(mjm.dof_frictionloss) > 0,
       tendon_frictionloss_nz=_np(mjm.tendon_frictionloss) > 0,
       _source=mjm if _keep_source else None,

@@ -401,6 +401,8 @@ class Model:
   geom_rbound: jax.Array = None       # (ngeom,)
   geom_type: np.ndarray = static_field(default=None)
   geom_bodyid: np.ndarray = static_field(default=None)
+  geom_group: np.ndarray = static_field(default=None)
+  geom_visible: np.ndarray = static_field(default=None)  # rgba/material α>0
   geom_contype: np.ndarray = static_field(default=None)
   geom_conaffinity: np.ndarray = static_field(default=None)
   geom_condim: np.ndarray = static_field(default=None)
@@ -500,6 +502,7 @@ class Model:
 
   # trace-time specialization hints derived from the compiled model
   has_dof_damping: bool = static_field(default=False)
+  has_fluid: bool = static_field(default=False)
   # static nonzero pattern of dof/tendon frictionloss (row budgeting)
   dof_frictionloss_nz: np.ndarray = static_field(default=None)
   tendon_frictionloss_nz: np.ndarray = static_field(default=None)

@@ -64,6 +64,60 @@ def _spring(m: Model, d: Data) -> jax.Array:
   return qfrc
 
 
+def fluid(m: Model, d: Data) -> jax.Array:
+  """Inertia-box fluid forces: viscosity + quadratic lift/drag.
+
+  Analog of ``mj_inertiaBoxFluidModel`` (reference
+  ``engine_passive.c:527-583``): each body is approximated by the
+  equivalent-inertia box; angular/linear viscous drag plus
+  density-quadratic lift/drag act at the body CoM in the inertial frame,
+  with wind subtracted.  Vectorized over all bodies — one fused batch of
+  (nbody, ...) elementwise ops plus a single Jacobian contraction.
+  """
+  dtype = d.qpos.dtype
+
+  # equivalent box from principal inertia (world body excluded via mass=0)
+  inert = m.body_inertia  # (nbody, 3)
+  mass = jnp.maximum(m.body_mass, 1e-15)
+  sum_roll = inert[:, [1, 0, 0]] + inert[:, [2, 2, 1]] - inert
+  box = jnp.sqrt(jnp.maximum(sum_roll, 1e-15) / mass[:, None] * 6.0)
+  box = box * (m.body_mass > 0)[:, None]
+
+  # 6D body velocity at xipos in the inertial frame, wind subtracted
+  offset = d.xipos - d.subtree_com[m.body_rootid]
+  vel = jax.vmap(math.transform_motion)(d.cvel, offset)  # world-aligned
+  ximt = jnp.swapaxes(d.ximat, -1, -2)
+  ang = jnp.einsum("bij,bj->bi", ximt, vel[:, :3])
+  lin = jnp.einsum("bij,bj->bi", ximt, vel[:, 3:])
+  lwind = jnp.einsum("bij,j->bi", ximt, m.opt.wind)
+  lin = lin - lwind
+
+  # angular/linear viscosity on the equivalent sphere
+  diam = jnp.mean(box, axis=-1, keepdims=True)
+  lfrc_ang = ang * (-jnp.pi * diam**3 * m.opt.viscosity)
+  lfrc_lin = lin * (-3.0 * jnp.pi * diam * m.opt.viscosity)
+
+  # quadratic lift/drag (density)
+  scale_lin = jnp.stack(
+      [box[:, 1] * box[:, 2], box[:, 0] * box[:, 2], box[:, 0] * box[:, 1]],
+      axis=-1)
+  scale_ang = jnp.stack([
+      box[:, 0] * (box[:, 1] ** 4 + box[:, 2] ** 4),
+      box[:, 1] * (box[:, 0] ** 4 + box[:, 2] ** 4),
+      box[:, 2] * (box[:, 0] ** 4 + box[:, 1] ** 4),
+  ], axis=-1)
+  lfrc_lin = lfrc_lin - 0.5 * m.opt.density * scale_lin * jnp.abs(lin) * lin
+  lfrc_ang = lfrc_ang - m.opt.density * scale_ang * jnp.abs(ang) * ang / 64.0
+
+  # back to world frame, applied at each body CoM
+  force = jnp.einsum("bij,bj->bi", d.ximat, lfrc_lin)
+  torque = jnp.einsum("bij,bj->bi", d.ximat, lfrc_ang)
+  jacp, jacr = support.jac_all_bodies(m, d, d.xipos)
+  qfrc = jnp.einsum("bvc,bc->v", jacp, force)
+  qfrc += jnp.einsum("bvc,bc->v", jacr, torque)
+  return qfrc.astype(dtype)
+
+
 def gravcomp(m: Model, d: Data) -> jax.Array:
   """Per-body gravity compensation mapped to joint space.
 
@@ -111,9 +165,10 @@ def passive(m: Model, d: Data) -> Data:
   if not (flags & DisableBit.GRAVITY):
     qfrc_gravcomp = gravcomp(m, d)
 
-  # fluid forces (inertia-box / ellipsoid models) are not yet implemented;
-  # models with nonzero density/viscosity are rejected at put_model time.
+  # inertia-box fluid model, gated statically on model fluid parameters
   qfrc_fluid = zero
+  if m.has_fluid:
+    qfrc_fluid = fluid(m, d)
 
   qfrc_passive = qfrc_spring + qfrc_damper + qfrc_fluid
 
