@@ -1,12 +1,27 @@
-"""Benchmark: batched humanoid simulation throughput on the accelerator.
+"""North-star benchmark: humanoid MPC solves/s per chip + torque parity.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Baseline: MJX humanoid on 8-chip TPU v5e reaches 2.7M steps/s at batch
-16384 (reference ``doc/mjx.rst:341-350``) => 337.5K steps/s/chip.  This
-bench runs the same humanoid model (loaded from the reference tree, or the
-bundled flagship if absent) at batch 8192 on one chip — directly
-comparable per-chip numbers.
+Primary metric (BASELINE.md driver metric): MPC solves/s per chip on the
+humanoid at horizon H=100 with a batched fleet (fleet x n_alpha rollouts
+in flight = the BASELINE "4096 batched rollouts" configuration), via
+warm-started iLQR through the full contact dynamics.
+
+vs_baseline: the same MPC solve executed with the reference's own CPU
+workflow — ``mjd_transitionFD`` linearization (reference
+``src/engine/engine_derivative_fd.c:550``) + ``mj_step`` line-search
+rollouts, per ``python/LQR.ipynb`` — measured in-process on this host and
+scaled to one solve.  (The reference ships no MPC driver; this is its
+documented recipe.)
+
+extra fields carried along:
+  * ``torque_parity_max_err``: max |qfrc_inverse(ours) - mj_inverse(C)|
+    along an executed fleet trajectory, replayed in f64 (the BASELINE
+    <=1e-4 target; the fork's own validation pattern,
+    ``src/inverse/inverse_test.cpp:62-125``);
+  * ``step_throughput``: batched humanoid steps/s/chip with its own
+    baseline ratio (MJX 8-chip TPU v5e 2.7M steps/s => 337.5K/chip,
+    reference ``doc/mjx.rst:341-350``).
 """
 
 import json
@@ -17,33 +32,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if not jax.config.jax_compilation_cache_dir:
+  jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 BASELINE_STEPS_PER_SEC_PER_CHIP = 2_700_000 / 8
 
 HUMANOID_PATH = "/root/reference/mjx/mujoco/mjx/test_data/humanoid/humanoid.xml"
+HUMANOID_MODEL_PATH = "/root/reference/model/humanoid/humanoid.xml"
 
-BATCH = 2048
-NSTEP = 100
+STEP_BATCH = 2048
+STEP_NSTEP = 100
+
+# north-star fleet configuration: fleet x n_alpha = 4096 rollouts in
+# flight during the parallel line search (BASELINE config 4)
+NS_HORIZON = 100
+NS_FLEET = 512
+NS_ALPHA = 8
+NS_ITERS = 2
+NS_LIN_BATCH = 2
 
 
-def main():
-  import mujoco_inversedynamicstest_tpu as mi
-
-  if os.path.exists(HUMANOID_PATH):
-    m = mi.load_model(HUMANOID_PATH, dtype=jnp.float32)
-    name = "humanoid"
-  else:
-    from __graft_entry__ import _FLAGSHIP_XML
-    m = mi.load_model(_FLAGSHIP_XML, dtype=jnp.float32)
-    name = "flagship_nv6"
-  d0 = mi.make_data(m)
-
-  # mild state/control randomization, comparable to mjx-testspeed's
-  # ctrl_noise=0.01 convention (reference mjx/mujoco/mjx/testspeed.py)
+def measure_step_throughput(mi, m, d0):
   rng = np.random.RandomState(0)
-  dq = 0.02 * rng.randn(BATCH, m.nq)
+  dq = 0.02 * rng.randn(STEP_BATCH, m.nq)
   dq[:, :7] = 0
   qpos = jnp.asarray(np.array(d0.qpos)[None] + dq, dtype=jnp.float32)
-  ctrl = jnp.asarray(0.01 * rng.randn(BATCH, m.nu), dtype=jnp.float32)
+  ctrl = jnp.asarray(0.01 * rng.randn(STEP_BATCH, m.nu), dtype=jnp.float32)
   batch = jax.vmap(lambda q, c: d0.replace(qpos=q, ctrl=c))(qpos, ctrl)
 
   vstep = jax.vmap(mi.step, in_axes=(None, 0))
@@ -52,24 +67,135 @@ def main():
   def rollout(ds):
     def body(ds, _):
       return vstep(m, ds), ()
-    ds, _ = jax.lax.scan(body, ds, None, length=NSTEP)
+    ds, _ = jax.lax.scan(body, ds, None, length=STEP_NSTEP)
     return ds
 
-  # compile + warmup
   out = rollout(batch)
   out.qpos.block_until_ready()
-
   t0 = time.perf_counter()
   out = rollout(batch)
   out.qpos.block_until_ready()
   dt = time.perf_counter() - t0
+  return STEP_BATCH * STEP_NSTEP / dt
 
-  steps_per_sec = BATCH * NSTEP / dt
+
+def measure_cpu_reference_solve_rate(mjm, horizon, iters, n_alpha):
+  """Solves/s of the identical MPC workload via the reference's CPU recipe.
+
+  One iLQR solve = iters x (H FD linearizations + n_alpha * H rollout
+  steps).  We time ``mjd_transitionFD`` and ``mj_step`` on this host and
+  extrapolate — charitable to the reference (ignores its backward-pass
+  and line-bookkeeping costs entirely).
+  """
+  import mujoco
+
+  mjd = mujoco.MjData(mjm)
+  nx = 2 * mjm.nv + mjm.na
+  A = np.zeros((nx, nx))
+  B = np.zeros((nx, mjm.nu))
+  mujoco.mj_forward(mjm, mjd)
+
+  # time FD transitions
+  n_fd = 20
+  t0 = time.perf_counter()
+  for _ in range(n_fd):
+    mujoco.mjd_transitionFD(mjm, mjd, 1e-6, 1, A, B, None, None)
+  t_fd = (time.perf_counter() - t0) / n_fd
+
+  # time plain steps
+  mujoco.mj_resetData(mjm, mjd)
+  n_st = 200
+  t0 = time.perf_counter()
+  for _ in range(n_st):
+    mujoco.mj_step(mjm, mjd)
+    if mjd.qpos[2] < 0.5:
+      mujoco.mj_resetData(mjm, mjd)
+  t_step = (time.perf_counter() - t0) / n_st
+
+  t_solve = iters * (horizon * t_fd + n_alpha * horizon * t_step)
+  return 1.0 / t_solve
+
+
+def measure_north_star(mi, m, d0):
+  from mujoco_inversedynamicstest_tpu.opt import northstar
+
+  cost = northstar.balance_cost(m)
+  cfg = northstar.NorthStarConfig(
+      horizon=NS_HORIZON, fleet=NS_FLEET, n_replan=1,
+      ilqr_iterations=NS_ITERS, n_alpha=NS_ALPHA, lin_batch=NS_LIN_BATCH,
+      qpos_noise=0.01, qvel_noise=0.01,
+  )
+  res = northstar.measure_solves_per_sec(m, cost, d0, cfg)
+  return cfg, res
+
+
+def measure_torque_parity(mjm, us_f32):
+  """Replays one executed fleet trajectory through both inverse pipelines
+  in f64 on the host CPU backend (TPUs have no native f64)."""
+  from mujoco_inversedynamicstest_tpu.opt import northstar
+
+  cpu = jax.devices("cpu")[0]
+  us = np.asarray(us_f32, dtype=np.float64)
+  with jax.enable_x64(), jax.default_device(cpu):
+    import mujoco_inversedynamicstest_tpu as mi
+
+    m64 = mi.put_model(mjm, dtype=jnp.float64)
+    d64 = mi.make_data(m64)
+    err, _ = northstar.torque_parity_vs_host(mjm, m64, d64, jnp.asarray(us))
+  return err
+
+
+def main():
+  import mujoco
+
+  import mujoco_inversedynamicstest_tpu as mi
+
+  path = HUMANOID_MODEL_PATH if os.path.exists(HUMANOID_MODEL_PATH) else (
+      HUMANOID_PATH if os.path.exists(HUMANOID_PATH) else None)
+  if path is None:
+    from __graft_entry__ import _FLAGSHIP_XML
+
+    mjm = mujoco.MjModel.from_xml_string(_FLAGSHIP_XML)
+    name = "flagship_nv6"
+  else:
+    mjm = mujoco.MjModel.from_xml_path(path)
+    name = "humanoid"
+
+  m = mi.put_model(mjm, dtype=jnp.float32)
+  d0 = mi.make_data(m)
+
+  steps_per_sec = measure_step_throughput(mi, m, d0)
+
+  extra = {
+      "step_throughput_steps_per_sec_per_chip": round(steps_per_sec, 1),
+      "step_throughput_vs_mjx_tpu_v5e_baseline": round(
+          steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),
+      "fleet": NS_FLEET,
+      "horizon": NS_HORIZON,
+      "rollouts_in_flight": NS_FLEET * NS_ALPHA,
+  }
+
+  cfg, res = measure_north_star(mi, m, d0)
+  extra["mpc_compile_time_s"] = round(res.compile_time_s, 2)
+  extra["mpc_plan_cost_mean"] = round(res.plan_cost_mean, 4)
+
+  try:
+    err = measure_torque_parity(mjm, res.run.us[0])
+    extra["torque_parity_max_err_f64"] = float(err)
+    extra["torque_parity_target"] = 1e-4
+  except Exception as e:  # parity replay is auxiliary; never sink the bench
+    extra["torque_parity_error"] = repr(e)[:200]
+
+  cpu_rate = measure_cpu_reference_solve_rate(
+      mjm, NS_HORIZON, NS_ITERS, NS_ALPHA)
+  extra["cpu_reference_solves_per_sec_1core"] = round(cpu_rate, 3)
+
   print(json.dumps({
-      "metric": f"batched_step_throughput_{name}",
-      "value": round(steps_per_sec, 1),
-      "unit": "steps/s/chip",
-      "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),
+      "metric": f"mpc_solves_per_sec_{name}_h{NS_HORIZON}",
+      "value": round(res.solves_per_sec, 2),
+      "unit": "solves/s/chip",
+      "vs_baseline": round(res.solves_per_sec / cpu_rate, 3),
+      "extra": extra,
   }))
 
 

@@ -30,6 +30,17 @@ from mujoco_inversedynamicstest_tpu.opt.mpc import (
     mpc_step,
     run_mpc,
 )
+from mujoco_inversedynamicstest_tpu.opt.northstar import (
+    NorthStarConfig,
+    NorthStarResult,
+    balance_cost,
+    executed_trajectory,
+    fleet_mpc_fn,
+    inverse_torques_along,
+    make_fleet,
+    measure_solves_per_sec,
+    torque_parity_vs_host,
+)
 from mujoco_inversedynamicstest_tpu.opt.minimize import (
     LeastSquaresResult,
     least_squares,

@@ -55,6 +55,13 @@ class ILQRConfig(NamedTuple):
   tol_cost: float = 1e-8
   # use control limits from actuator_ctrlrange via boxQP backward pass
   limits: bool = True
+  # linearization chunking: None = vmap all T timesteps at once (fastest,
+  # highest memory); an int B = lax.map with batch_size=B (memory bounded
+  # to B*(nx+nu) concurrent tangent steps — required for big MPC fleets)
+  lin_batch: Optional[int] = None
+  # recompute feedback gains for the returned trajectory (an extra
+  # linearization pass; only needed when the caller consumes gains_K/k)
+  final_gains: bool = False
 
 
 class ILQRResult(NamedTuple):
@@ -120,8 +127,13 @@ def _quadratize_cost(m: Model, cost: CostFn, x: State, u: jax.Array,
   return g[:nx], g[nx:], h[:nx, :nx], h[nx:, nx:], h[nx:, :nx]
 
 
-def _linearize(m: Model, d_template: Data, xs: State, us: jax.Array):
-  """(A, B) for every timestep: one vmapped autodiff transition."""
+def _linearize(m: Model, d_template: Data, xs: State, us: jax.Array,
+               lin_batch: Optional[int] = None):
+  """(A, B) for every timestep: one vmapped autodiff transition.
+
+  With ``lin_batch`` set, timesteps stream through ``lax.map`` in chunks of
+  that size instead — same result, memory bounded (big-fleet MPC mode).
+  """
   T = us.shape[0]
   head = jax.tree.map(lambda a: a[:T], xs)
 
@@ -131,6 +143,10 @@ def _linearize(m: Model, d_template: Data, xs: State, us: jax.Array):
     tr = derivative.transition_ad(m, d)
     return tr.A, tr.B
 
+  if lin_batch:
+    return jax.lax.map(
+        lambda su: lin(*su), (head, us), batch_size=min(lin_batch, T)
+    )
   return jax.vmap(lin)(head, us)
 
 
@@ -264,7 +280,7 @@ def ilqr(m: Model, cost: CostFn, d0: Data, us_init: jax.Array,
   def iteration(carry):
     xs, us, c_prev, reg, it, done = carry
 
-    As, Bs = _linearize(m, d0, xs, us)
+    As, Bs = _linearize(m, d0, xs, us, cfg.lin_batch)
     head = jax.tree.map(lambda a: a[:T], xs)
     lx, lu, lxx, luu, lux = jax.vmap(
         lambda s, u, t: _quadratize_cost(m, cost, s, u, t)
@@ -325,20 +341,25 @@ def ilqr(m: Model, cost: CostFn, d0: Data, us_init: jax.Array,
       (xs0, us_init, cost0, reg0, jnp.asarray(0, jnp.int32), False),
   )
 
-  # final gains for the returned trajectory (for MPC warm starts)
-  As, Bs = _linearize(m, d0, xs_f, us_f)
-  head = jax.tree.map(lambda a: a[:T], xs_f)
-  lx, lu, lxx, luu, lux = jax.vmap(
-      lambda s, u, t: _quadratize_cost(m, cost, s, u, t)
-  )(head, us_f, ts)
-  x_T = jax.tree.map(lambda a: a[T], xs_f)
-  gT, _, hT, _, _ = _quadratize_cost(
-      m, cost, x_T, u_nil, jnp.asarray(T, dtype)
-  )
-  ks, Ks, _, _ = _backward(
-      m, ILQRConfig(limits=cfg.limits), As, Bs, lx, lu, lxx, luu, lux,
-      gT, hT, jnp.asarray(cfg.reg_min, dtype), u_lo, u_hi, us_f
-  )
+  # final gains for the returned trajectory (for MPC warm starts);
+  # costs one extra linearization pass, so it is opt-in (cfg.final_gains)
+  if cfg.final_gains:
+    As, Bs = _linearize(m, d0, xs_f, us_f, cfg.lin_batch)
+    head = jax.tree.map(lambda a: a[:T], xs_f)
+    lx, lu, lxx, luu, lux = jax.vmap(
+        lambda s, u, t: _quadratize_cost(m, cost, s, u, t)
+    )(head, us_f, ts)
+    x_T = jax.tree.map(lambda a: a[T], xs_f)
+    gT, _, hT, _, _ = _quadratize_cost(
+        m, cost, x_T, u_nil, jnp.asarray(T, dtype)
+    )
+    ks, Ks, _, _ = _backward(
+        m, ILQRConfig(limits=cfg.limits), As, Bs, lx, lu, lxx, luu, lux,
+        gT, hT, jnp.asarray(cfg.reg_min, dtype), u_lo, u_hi, us_f
+    )
+  else:
+    ks = jnp.zeros((T, nu), dtype)
+    Ks = jnp.zeros((T, nu, nx), dtype)
 
   return ILQRResult(
       us=us_f, xs=xs_f, cost=c_f, gains_K=Ks, gains_k=ks, niter=it_f,

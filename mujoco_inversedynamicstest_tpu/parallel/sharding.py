@@ -25,7 +25,7 @@ from typing import Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mujoco_inversedynamicstest_tpu.models.types import Data, Model
@@ -79,7 +79,7 @@ def sharded_step_fn(m: Model, mesh: Mesh, step_fn: Callable,
       mesh=mesh,
       in_specs=(P(axis),),
       out_specs=(P(axis), P()),
-      check_rep=False,
+      check_vma=False,
   )
   def _sharded(d_shard: Data):
     d_out = vstep(m, d_shard)

@@ -1,0 +1,138 @@
+"""North-star benchmark composition tests (BASELINE.md driver metric).
+
+The driver metric is *MPC solves/s per chip + max torque error vs
+``mj_inverse`` (humanoid, H=100)*.  These tests exercise the exact
+composition ``bench.py`` measures on hardware:
+
+* fleet MPC (vmapped warm-started iLQR over perturbed initial states),
+* executed-trajectory torque parity vs the C engine's ``mj_inverse``
+  (the fork's validation pattern, reference
+  ``src/inverse/inverse_test.cpp:62-125``, lifted to the MPC setting),
+* the weak-scaling harness (mesh-sharded fleet, psum'd diagnostics) on
+  the virtual 8-device CPU mesh.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mujoco_inversedynamicstest_tpu as mi
+from mujoco_inversedynamicstest_tpu.opt import northstar
+from mujoco_inversedynamicstest_tpu.parallel import scaling, sharding
+
+from test_mpc import ARM
+
+HUMANOID_PATH = "/root/reference/model/humanoid/humanoid.xml"
+
+
+def _arm():
+  mjm = mujoco.MjModel.from_xml_string(ARM)
+  m = mi.put_model(mjm)
+  return mjm, m, mi.make_data(m)
+
+
+def test_arm_fleet_mpc_and_torque_parity():
+  """Small fleet on the 2-dof arm: solves complete, costs drop from the
+  noisy starts, and every fleet member's executed torques match the C
+  engine's mj_inverse."""
+  mjm, m, d0 = _arm()
+  cost = northstar.balance_cost(m)
+  cfg = northstar.NorthStarConfig(
+      horizon=10, fleet=4, n_replan=2, ilqr_iterations=2, n_alpha=4,
+      lin_batch=None, qpos_noise=0.15, qvel_noise=0.1,
+  )
+  res = northstar.measure_solves_per_sec(m, cost, d0, cfg)
+  assert res.n_solves == 8
+  assert res.solves_per_sec > 0
+  assert np.isfinite(res.plan_cost_mean)
+  # plan costs must be finite and improve across replans on average
+  costs = np.asarray(res.run.plan_costs)
+  assert costs.shape == (4, 2)
+  assert np.all(np.isfinite(costs))
+
+  for i in range(cfg.fleet):
+    d_i = jax.tree.map(lambda a: a[i], northstar.make_fleet(m, d0, cfg))
+    err, _ = northstar.torque_parity_vs_host(mjm, m, d_i, res.run.us[i])
+    assert err < 1e-9, f"fleet member {i}: torque err {err}"
+
+
+def test_sharded_fleet_matches_unsharded():
+  """The mesh-sharded fleet MPC produces identical plan costs to the
+  plain vmapped fleet (exactness of the sharded program)."""
+  mjm, m, d0 = _arm()
+  cost = northstar.balance_cost(m)
+  cfg = northstar.NorthStarConfig(
+      horizon=8, fleet=8, n_replan=1, ilqr_iterations=1, n_alpha=4,
+      lin_batch=None,
+  )
+  fleet = northstar.make_fleet(m, d0, cfg)
+
+  ref = northstar.fleet_mpc_fn(m, cost, cfg)(fleet)
+
+  mesh = sharding.make_mesh(jax.devices()[:4])
+  fleet_sharded = sharding.shard_batch(mesh, fleet)
+  fn = scaling.sharded_fleet_mpc_fn(m, cost, cfg, mesh)
+  costs, gmean = fn(fleet_sharded)
+
+  np.testing.assert_allclose(costs, ref.plan_costs, rtol=1e-12)
+  np.testing.assert_allclose(
+      float(gmean), float(jnp.mean(ref.plan_costs)), rtol=1e-12
+  )
+
+
+def test_weak_scaling_harness():
+  """Weak-scaling measurement runs at 1..4 virtual devices and reports a
+  positive efficiency.  (Absolute efficiency is meaningless on a virtual
+  CPU mesh — all devices share the same cores — the test checks the
+  harness, the sharded program, and the metric plumbing.)"""
+  mjm, m, d0 = _arm()
+  cost = northstar.balance_cost(m)
+  cfg = northstar.NorthStarConfig(
+      horizon=6, fleet=2, n_replan=1, ilqr_iterations=1, n_alpha=2,
+      lin_batch=None,
+  )
+  res = scaling.mpc_weak_scaling(
+      m, cost, d0, cfg, fleet_per_device=2, device_counts=[1, 2, 4]
+  )
+  assert [p.n_devices for p in res.points] == [1, 2, 4]
+  for p in res.points:
+    assert p.solves_per_sec > 0
+    assert np.isfinite(p.plan_cost_mean)
+  assert res.efficiency > 0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(HUMANOID_PATH), reason="reference model not mounted"
+)
+def test_humanoid_h100_mpc_torque_parity():
+  """THE north-star parity check (BASELINE): humanoid nv=27, horizon 100.
+
+  Solves one full-horizon iLQR plan through the contact dynamics, executes
+  all 100 controls, and replays every visited (qpos, qvel, qacc_discrete)
+  sample through both inverse pipelines.  BASELINE target <= 1e-4; f64
+  achieves ~1e-8."""
+  mjm = mujoco.MjModel.from_xml_path(HUMANOID_PATH)
+  m = mi.put_model(mjm)
+  d0 = mi.make_data(m)
+  cost = northstar.balance_cost(m)
+  cfg = northstar.NorthStarConfig(
+      horizon=100, fleet=1, n_replan=1, ilqr_iterations=1, n_alpha=2,
+      lin_batch=4, n_apply=100, qpos_noise=0.01, qvel_noise=0.01,
+  )
+  fleet = northstar.make_fleet(m, d0, cfg)
+  out = northstar.fleet_mpc_fn(m, cost, cfg)(fleet)
+  us = out.us[0]
+  assert us.shape == (100, m.nu)
+  assert np.all(np.isfinite(np.asarray(us)))
+
+  d_0 = jax.tree.map(lambda a: a[0], fleet)
+  err, errs = northstar.torque_parity_vs_host(mjm, m, d_0, us)
+  assert errs.shape == (100,)
+  assert err <= 1e-4, f"north-star torque parity failed: {err}"
+  # in f64 we expect near machine-precision agreement
+  assert err <= 1e-7, f"expected tight f64 parity, got {err}"
