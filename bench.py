@@ -150,8 +150,12 @@ def main():
 
   import mujoco_inversedynamicstest_tpu as mi
 
-  path = HUMANOID_MODEL_PATH if os.path.exists(HUMANOID_MODEL_PATH) else (
-      HUMANOID_PATH if os.path.exists(HUMANOID_PATH) else None)
+  # the MJX-tuned humanoid (iterations=1, ls_iterations=4) — the exact
+  # config behind the MJX TPU v5e baseline numbers, so both metrics are
+  # apples-to-apples; model/humanoid/humanoid.xml (default Newton-100)
+  # is ~40x more solver work per step and not what the baseline measures
+  path = HUMANOID_PATH if os.path.exists(HUMANOID_PATH) else (
+      HUMANOID_MODEL_PATH if os.path.exists(HUMANOID_MODEL_PATH) else None)
   if path is None:
     from __graft_entry__ import _FLAGSHIP_XML
 

@@ -21,11 +21,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_inversedynamicstest_tpu.models.types import (
+    BiasType,
+    ConeType,
     Data,
+    DynType,
+    EnableBit,
+    EqType,
+    GainType,
     JointType,
     Model,
+    ObjType,
     Option,
+    SensorType,
+    SolverType,
     TreeLayout,
+    TrnType,
 )
 
 
@@ -156,19 +166,151 @@ def put_option(mj_opt, dtype) -> Option:
   )
 
 
+def _custom_numeric(mjm, name: str, default: int = -1) -> int:
+  """Reads an MJX-convention ``<numeric>`` custom (max_contact_points /
+  max_geom_pairs, reference ``mjx/mujoco/mjx/_src/collision_driver.py:336``).
+  """
+  import mujoco
+
+  for i in range(mjm.nnumeric):
+    n = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_NUMERIC, i)
+    if n == name:
+      return int(mjm.numeric_data[mjm.numeric_adr[i]])
+  return default
+
+
+def _build_mesh_hulls(mjm):
+  """Convex hull topology per mesh (only when a mesh can collide)."""
+  if mjm.nmesh == 0:
+    return ()
+  from mujoco_inversedynamicstest_tpu.ops import hull as hull_mod
+
+  needed = False
+  for g in range(mjm.ngeom):
+    if mjm.geom_type[g] == 7 and (  # mjGEOM_MESH
+        mjm.geom_contype[g] or mjm.geom_conaffinity[g]):
+      needed = True
+  for k in range(mjm.npair):
+    if 7 in (mjm.geom_type[mjm.pair_geom1[k]],
+             mjm.geom_type[mjm.pair_geom2[k]]):
+      needed = True
+  if not needed:
+    return ()
+  return hull_mod.mesh_hulls(mjm)
+
+
+# sensor types the sensor pipeline implements (ops/sensor.py); anything
+# else must fail at put_model, not at trace time
+_SUPPORTED_SENSORS = frozenset({
+    SensorType.JOINTPOS, SensorType.TENDONPOS, SensorType.ACTUATORPOS,
+    SensorType.BALLQUAT, SensorType.MAGNETOMETER, SensorType.FRAMEPOS,
+    SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS,
+    SensorType.FRAMEQUAT, SensorType.SUBTREECOM, SensorType.JOINTLIMITPOS,
+    SensorType.TENDONLIMITPOS, SensorType.E_POTENTIAL, SensorType.E_KINETIC,
+    SensorType.CLOCK, SensorType.JOINTVEL, SensorType.TENDONVEL,
+    SensorType.ACTUATORVEL, SensorType.BALLANGVEL, SensorType.VELOCIMETER,
+    SensorType.GYRO, SensorType.FRAMELINVEL, SensorType.FRAMEANGVEL,
+    SensorType.SUBTREELINVEL, SensorType.SUBTREEANGMOM,
+    SensorType.JOINTLIMITVEL, SensorType.TENDONLIMITVEL,
+    SensorType.ACTUATORFRC, SensorType.JOINTACTFRC,
+    SensorType.ACCELEROMETER, SensorType.FORCE, SensorType.TORQUE,
+    SensorType.FRAMELINACC, SensorType.FRAMEANGACC,
+    SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITFRC,
+})
+
+
+def validate_model(mjm) -> None:
+  """Raises NotImplementedError for any feature this engine cannot
+  simulate faithfully — at load time, never silently.
+
+  The feature-parity enforcement point, mirroring MJX's put_model device
+  guards (reference ``mjx/mujoco/mjx/_src/io.py:47-153``): a model either
+  loads and simulates with reference semantics, or refuses to load.
+  """
+  import mujoco
+
+  def bad(msg):
+    raise NotImplementedError(f"unsupported by the TPU engine: {msg}")
+
+  for jt in _np(mjm.jnt_type):
+    JointType(jt)  # raises on unsupported joint types
+
+  if mjm.opt.cone == ConeType.ELLIPTIC:
+    bad("elliptic friction cone (option cone='elliptic'); use pyramidal")
+  if mjm.opt.noslip_iterations > 0:
+    bad("noslip solver post-pass (option noslip_iterations > 0)")
+  if mjm.opt.enableflags & EnableBit.OVERRIDE:
+    bad("contact override (o_margin/o_solref/o_solimp, flag override)")
+  if mjm.opt.solver == SolverType.PGS:
+    bad("PGS solver (dual); set solver='CG' or 'Newton'")
+
+  if getattr(mjm, "nflex", 0):
+    bad("flex (deformable) bodies")
+  if getattr(mjm, "nplugin", 0):
+    bad("engine plugins")
+
+  for i in range(mjm.nsensor):
+    try:
+      t = SensorType(mjm.sensor_type[i])
+    except ValueError:
+      t = None
+    if t is None or t not in _SUPPORTED_SENSORS:
+      name = mujoco.mjtSensor(mjm.sensor_type[i]).name
+      bad(f"sensor type {name}")
+    if t in (SensorType.FRAMEPOS, SensorType.FRAMEQUAT,
+             SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS,
+             SensorType.FRAMEZAXIS, SensorType.FRAMELINVEL,
+             SensorType.FRAMEANGVEL, SensorType.FRAMELINACC,
+             SensorType.FRAMEANGACC):
+      for ot in (mjm.sensor_objtype[i], max(mjm.sensor_reftype[i], 0)):
+        if ot not in (int(ObjType.UNKNOWN), int(ObjType.BODY),
+                      int(ObjType.XBODY), int(ObjType.GEOM),
+                      int(ObjType.SITE)):
+          bad(f"frame sensor attached to objtype {ot} (camera frames)")
+
+  for i in range(mjm.neq):
+    if mjm.eq_type[i] not in (int(EqType.CONNECT), int(EqType.WELD),
+                              int(EqType.JOINT)):
+      bad(f"equality constraint type {mujoco.mjtEq(mjm.eq_type[i]).name}")
+
+  for i in range(mjm.nu):
+    tt = mjm.actuator_trntype[i]
+    if tt not in (int(TrnType.JOINT), int(TrnType.JOINTINPARENT),
+                  int(TrnType.TENDON), int(TrnType.SITE)):
+      bad(f"actuator transmission {mujoco.mjtTrn(tt).name}")
+    if tt == int(TrnType.SITE) and mjm.actuator_trnid[i, 1] >= 0:
+      bad("site transmission with refsite")
+    if mjm.actuator_dyntype[i] not in (
+        int(DynType.NONE), int(DynType.INTEGRATOR), int(DynType.FILTER),
+        int(DynType.FILTEREXACT), int(DynType.MUSCLE)):
+      bad(f"actuator dyntype {mujoco.mjtDyn(mjm.actuator_dyntype[i]).name}")
+    if mjm.actuator_gaintype[i] not in (
+        int(GainType.FIXED), int(GainType.AFFINE), int(GainType.MUSCLE)):
+      bad(f"actuator gaintype "
+          f"{mujoco.mjtGain(mjm.actuator_gaintype[i]).name}")
+    if mjm.actuator_biastype[i] not in (
+        int(BiasType.NONE), int(BiasType.AFFINE), int(BiasType.MUSCLE)):
+      bad(f"actuator biastype "
+          f"{mujoco.mjtBias(mjm.actuator_biastype[i]).name}")
+
+  # ellipsoid fluid model: geom_fluid becomes nonzero only for
+  # fluidshape="ellipsoid" (ref engine_passive.c:588 mj_ellipsoidFluidModel)
+  if np.any(_np(mjm.geom_fluid) != 0):
+    bad("ellipsoid fluid model (geom fluidshape='ellipsoid')")
+
+
 def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
   """Converts a ``mujoco.MjModel`` into the TPU-native ``Model`` pytree."""
   dtype = dtype or default_dtype()
 
-  for jt in _np(mjm.jnt_type):
-    JointType(jt)  # raises on unsupported joint types
+  validate_model(mjm)
 
   tree = build_tree_layout(
       _np(mjm.body_parentid), _np(mjm.body_jntnum), _np(mjm.dof_parentid),
       _np(mjm.body_dofadr), _np(mjm.body_dofnum),
   )
 
-  return Model(
+  m = Model(
       nq=int(mjm.nq),
       nv=int(mjm.nv),
       nu=int(mjm.nu),
@@ -185,6 +327,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       nsensor=int(mjm.nsensor),
       nsensordata=int(mjm.nsensordata),
       nflexvert=int(getattr(mjm, "nflexvert", 0)),
+      nmesh=int(mjm.nmesh),
       opt=put_option(mjm.opt, dtype),
       tree=tree,
       body_pos=_jx(mjm.body_pos, dtype),
@@ -242,6 +385,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       geom_solmix=_jx(mjm.geom_solmix, dtype),
       geom_rbound=_jx(mjm.geom_rbound, dtype),
       geom_type=_np(mjm.geom_type),
+      geom_dataid=_np(mjm.geom_dataid),
       geom_bodyid=_np(mjm.geom_bodyid),
       geom_group=_np(mjm.geom_group),
       geom_visible=_geom_visible(mjm),
@@ -323,6 +467,9 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       pair_gap=_jx(mjm.pair_gap, dtype),
       pair_friction=_jx(mjm.pair_friction, dtype),
       exclude_signature=_np(mjm.exclude_signature),
+      mesh_hull=_build_mesh_hulls(mjm),
+      max_contact_points=_custom_numeric(mjm, "max_contact_points"),
+      max_geom_pairs=_custom_numeric(mjm, "max_geom_pairs"),
       has_dof_damping=bool(np.any(_np(mjm.dof_damping) > 0)),
       has_fluid=bool(
           mjm.opt.density > 0 or mjm.opt.viscosity > 0
@@ -332,6 +479,12 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       tendon_frictionloss_nz=_np(mjm.tendon_frictionloss) > 0,
       _source=mjm if _keep_source else None,
   )
+
+  # unsupported geom-pair signatures must also fail at load, not at trace
+  from mujoco_inversedynamicstest_tpu.ops.collision import contact_layout
+
+  contact_layout(m)
+  return m
 
 
 def load_model(path_or_xml: str, dtype=None) -> Model:

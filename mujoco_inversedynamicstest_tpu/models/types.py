@@ -333,6 +333,7 @@ class Model:
   nsensor: int = static_field(default=0)
   nsensordata: int = static_field(default=0)
   nflexvert: int = static_field(default=0)
+  nmesh: int = static_field(default=0)
 
   # ------- options / tree layout (nested pytrees) -------
   opt: Option = None
@@ -400,6 +401,7 @@ class Model:
   geom_solmix: jax.Array = None       # (ngeom,)
   geom_rbound: jax.Array = None       # (ngeom,)
   geom_type: np.ndarray = static_field(default=None)
+  geom_dataid: np.ndarray = static_field(default=None)  # mesh id or -1
   geom_bodyid: np.ndarray = static_field(default=None)
   geom_group: np.ndarray = static_field(default=None)
   geom_visible: np.ndarray = static_field(default=None)  # rgba/material α>0
@@ -499,6 +501,12 @@ class Model:
   pair_gap: jax.Array = None
   pair_friction: jax.Array = None
   exclude_signature: np.ndarray = static_field(default=None)
+  # convex hull topology per mesh (ops/hull.HullSpec tuples; static)
+  mesh_hull: Tuple = static_field(default=())
+  # contact budgeting (MJX-compatible <numeric> customs; -1 = unlimited,
+  # ref mjx/mujoco/mjx/_src/collision_driver.py:336-372)
+  max_contact_points: int = static_field(default=-1)
+  max_geom_pairs: int = static_field(default=-1)
 
   # trace-time specialization hints derived from the compiled model
   has_dof_damping: bool = static_field(default=False)

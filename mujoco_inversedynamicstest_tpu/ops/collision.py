@@ -45,6 +45,25 @@ _PAIR_SLOTS = {
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
+    # convex narrowphase (ops/collision_convex.py)
+    (GeomType.PLANE, GeomType.MESH): 4,
+    (GeomType.SPHERE, GeomType.MESH): 1,
+    (GeomType.CAPSULE, GeomType.BOX): 2,
+    (GeomType.CAPSULE, GeomType.MESH): 2,
+    (GeomType.BOX, GeomType.BOX): 4,
+    (GeomType.BOX, GeomType.MESH): 4,
+    (GeomType.MESH, GeomType.MESH): 4,
+}
+
+# pairs whose kernels need hull topology (grouped per distinct mesh pair)
+_CONVEX_KEYS = {
+    (GeomType.PLANE, GeomType.MESH),
+    (GeomType.SPHERE, GeomType.MESH),
+    (GeomType.CAPSULE, GeomType.BOX),
+    (GeomType.CAPSULE, GeomType.MESH),
+    (GeomType.BOX, GeomType.BOX),
+    (GeomType.BOX, GeomType.MESH),
+    (GeomType.MESH, GeomType.MESH),
 }
 
 
@@ -55,6 +74,10 @@ class PairGroup(NamedTuple):
   geom2: np.ndarray      # (npair,)
   ipair: np.ndarray      # (npair,) index into m.pair_* or -1
   nslot: int
+  # mesh data ids (-1 for non-mesh geoms); part of the group key so every
+  # group shares one static hull topology
+  did1: int = -1
+  did2: int = -1
 
 
 class ContactLayout(NamedTuple):
@@ -137,16 +160,24 @@ def contact_layout(m: Model) -> ContactLayout:
           f"collision pair {GeomType(key[0]).name}-{GeomType(key[1]).name} "
           "not yet supported"
       )
-    ordered.append((key, g1, g2, ip, condim))
+    # hull-kernel groups are keyed per distinct mesh pair so each group has
+    # one static hull topology (cf. MJX FunctionKey data ids,
+    # reference mjx/mujoco/mjx/_src/collision_driver.py:192)
+    if key in _CONVEX_KEYS:
+      did1 = int(m.geom_dataid[g1]) if m.geom_type[g1] == GeomType.MESH else -1
+      did2 = int(m.geom_dataid[g2]) if m.geom_type[g2] == GeomType.MESH else -1
+    else:
+      did1 = did2 = -1
+    ordered.append((key, did1, did2, g1, g2, ip, condim))
 
-  # group by type signature
+  # group by (type signature, mesh ids)
   groups = []
   slot_g1, slot_g2, slot_dim = [], [], []
   by_key = {}
-  for key, g1, g2, ip, condim in ordered:
-    by_key.setdefault(key, []).append((g1, g2, ip, condim))
-  for key in sorted(by_key):
-    entries = by_key[key]
+  for key, did1, did2, g1, g2, ip, condim in ordered:
+    by_key.setdefault((key, did1, did2), []).append((g1, g2, ip, condim))
+  for key, did1, did2 in sorted(by_key):
+    entries = by_key[(key, did1, did2)]
     nslot = _PAIR_SLOTS[key]
     groups.append(PairGroup(
         types=key,
@@ -154,6 +185,8 @@ def contact_layout(m: Model) -> ContactLayout:
         geom2=np.array([e[1] for e in entries], np.int32),
         ipair=np.array([e[2] for e in entries], np.int32),
         nslot=nslot,
+        did1=did1,
+        did2=did2,
     ))
     for g1, g2, ip, condim in entries:
       slot_g1 += [g1] * nslot
@@ -425,6 +458,31 @@ _NARROWPHASE: dict = {
 }
 
 
+def _group_narrowphase(m: Model, grp: PairGroup) -> Callable:
+  """Resolves the narrowphase kernel for a pair group, building hull-aware
+  closures for convex keys (ops/collision_convex.py)."""
+  if grp.types in _NARROWPHASE:
+    return _NARROWPHASE[grp.types]
+
+  from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+
+  t1, t2 = grp.types
+
+  def hull_of(did, t):
+    return (cc.BOX_HULL, True) if t == GeomType.BOX else (
+        m.mesh_hull[did], False)
+
+  if t1 == GeomType.PLANE:
+    return cc.make_plane_convex(*hull_of(grp.did2, t2))
+  if t1 == GeomType.SPHERE:
+    return cc.make_sphere_convex(*hull_of(grp.did2, t2))
+  if t1 == GeomType.CAPSULE:
+    return cc.make_capsule_convex(*hull_of(grp.did2, t2))
+  s1, b1 = hull_of(grp.did1, t1)
+  s2, b2 = hull_of(grp.did2, t2)
+  return cc.make_convex_convex(s1, b1, s2, b2)
+
+
 def _pair_params(m: Model, grp: PairGroup):
   """Mixed contact parameters for a pair group (ref ``mj_contactParam``).
 
@@ -512,7 +570,7 @@ def collision(m: Model, d: Data) -> Data:
   geom1s, geom2s = [], []
 
   for grp in lay.groups:
-    fn = _NARROWPHASE[grp.types]
+    fn = _group_narrowphase(m, grp)
     g1, g2 = grp.geom1, grp.geom2
     margin, incmargin, fri, sr, srf, si = _pair_params(m, grp)
 

@@ -1,0 +1,519 @@
+"""Convex narrowphase: branchless SAT + support-point kernels.
+
+Covers the reference's convex colliders — dedicated box-box
+(``src/engine/engine_collision_box.c:607`` ``mjc_BoxBox``), capsule-box
+(``mjc_CapsuleBox``), and the general convex pairs the reference routes
+through libccd-MPR / native GJK+EPA (``engine_collision_convex.c``,
+``engine_collision_gjk.c``) — with a TPU-first formulation:
+
+* **No iterative CCD.**  GJK/EPA's data-dependent loops serialize badly
+  under vmap; instead we use a *separating-axis test over the static hull
+  topology* (face normals of both hulls + Gauss-map-pruned edge-pair cross
+  products), which is exact for penetration depth on polytopes and has a
+  fixed, compile-time shape.  This is the same high-level choice as MJX's
+  ``collision_convex.py`` (the program to beat), but the machinery here is
+  different: polygon-intersection manifolds built from three fixed
+  candidate sets (verts-in-poly both ways + edge-edge crossings) instead
+  of Sutherland–Hodgman clip chains, and exact segment/point-to-triangle
+  closest-point queries for the rounded (sphere/capsule) shapes.
+
+* **Masks, not branches.**  Every kernel returns a fixed number of
+  contact slots; empty slots carry dist=+BIG.  All case selection
+  (face-face vs edge-edge, inside vs outside) is `jnp.where`.
+
+Hull topology (vertices, polygon faces, edges, adjacent face normals) is
+precomputed on the host by ``ops/hull.py`` and enters as static data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.ops import math
+from mujoco_inversedynamicstest_tpu.ops.hull import HullSpec, box_hull
+
+_BIG = 1e10
+BOX_HULL = box_hull()
+
+
+def _face_separations(h_ref: WorldHull, other_vert: jax.Array):
+  """Separation of ``other`` behind each face plane of ``h_ref``: (F,)."""
+  anchor = h_ref.vert[h_ref.spec.face[:, 0]]              # (F, 3)
+  # min over other's verts of n·v  minus the face plane offset
+  d = other_vert @ h_ref.face_normal.T                    # (Vo, F)
+  return jnp.min(d, axis=0) - jnp.sum(anchor * h_ref.face_normal, axis=1)
+
+
+def _arcs_intersect(a1, a2, b1, b2):
+  """Gauss-map test: do great-circle arcs (a1,a2) and (b1,b2) intersect?
+
+  Edges of two hulls form a face of the Minkowski difference iff the arc
+  of edge A's adjacent normals crosses the arc of edge B's *negated*
+  adjacent normals (Gregorius, "Robust Contact Creation", GDC'15 — a
+  published construction, implemented from the definition)."""
+  bxa = jnp.cross(a2, a1)
+  dxc = jnp.cross(b2, b1)
+  cba = jnp.einsum('...i,...i->...', b1, bxa)
+  dba = jnp.einsum('...i,...i->...', b2, bxa)
+  adc = jnp.einsum('...i,...i->...', a1, dxc)
+  bdc = jnp.einsum('...i,...i->...', a2, dxc)
+  return (cba * dba < 0) & (adc * bdc < 0) & (cba * bdc > 0)
+
+
+class WorldHull(NamedTuple):
+  spec: HullSpec
+  vert: jax.Array
+  face_normal: jax.Array
+  edge_dir: jax.Array
+  edge_p0: jax.Array
+  edge_fn1: jax.Array        # (E, 3) adjacent face normal 1 (world)
+  edge_fn2: jax.Array        # (E, 3) adjacent face normal 2 (world)
+  center: jax.Array
+
+
+def hull_world(spec: HullSpec, pos, mat, scale=None) -> WorldHull:
+  vert_l = jnp.asarray(spec.vert, dtype=pos.dtype)
+  if scale is not None:
+    vert_l = vert_l * scale
+  vert = vert_l @ mat.T + pos
+  face_normal = jnp.asarray(spec.face_normal, dtype=pos.dtype) @ mat.T
+  efn = jnp.asarray(spec.edge_face_normal, dtype=pos.dtype)
+  e0, e1 = spec.edge[:, 0], spec.edge[:, 1]
+  return WorldHull(
+      spec=spec, vert=vert, face_normal=face_normal,
+      edge_dir=vert[e1] - vert[e0], edge_p0=vert[e0],
+      edge_fn1=efn[:, 0] @ mat.T, edge_fn2=efn[:, 1] @ mat.T,
+      center=jnp.mean(vert, axis=0),
+  )
+
+
+def _edge_axes(ha: WorldHull, hb: WorldHull):
+  da = ha.edge_dir[:, None, :]
+  db = hb.edge_dir[None, :, :]
+  axis = jnp.cross(da, db)
+  nrm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+  degenerate = nrm[..., 0] < 1e-8
+  axis = axis / jnp.where(nrm < 1e-8, 1.0, nrm)
+
+  pa = ha.edge_p0[:, None, :]
+  sgn = jnp.sign(jnp.einsum('abi,abi->ab', axis, pa - ha.center[None, None]))
+  sgn = jnp.where(sgn == 0, 1.0, sgn)
+  axis = axis * sgn[..., None]
+
+  pb = hb.edge_p0[None, :, :]
+  sep = jnp.einsum('abi,abi->ab', axis, pb - pa)
+
+  valid = _arcs_intersect(
+      ha.edge_fn1[:, None, :], ha.edge_fn2[:, None, :],
+      -hb.edge_fn1[None, :, :], -hb.edge_fn2[None, :, :],
+  ) & ~degenerate
+  return axis, sep, valid
+
+
+def _closest_seg_seg(p1, d1, p2, d2):
+  """Closest points between segments p1+t*d1, p2+s*d2, t,s in [0,1]."""
+  r = p1 - p2
+  a = jnp.dot(d1, d1)
+  e = jnp.dot(d2, d2)
+  f = jnp.dot(d2, r)
+  c = jnp.dot(d1, r)
+  b = jnp.dot(d1, d2)
+  denom = a * e - b * b
+  t = jnp.where(jnp.abs(denom) > 1e-12, (b * f - c * e) / jnp.where(
+      jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+  t = jnp.clip(t, 0.0, 1.0)
+  s = jnp.where(e > 1e-12, (b * t + f) / jnp.where(e > 1e-12, e, 1.0), 0.0)
+  s = jnp.clip(s, 0.0, 1.0)
+  t = jnp.where(a > 1e-12, jnp.clip((b * s - c) / jnp.where(
+      a > 1e-12, a, 1.0), 0.0, 1.0), 0.0)
+  return p1 + t * d1, p2 + s * d2
+
+
+# ---------------------------------------------------------------------------
+# face-face manifold: polygon intersection candidates
+# ---------------------------------------------------------------------------
+
+
+def _face_poly(h: WorldHull, f: jax.Array):
+  """World vertices of face ``f`` (FV,3) with validity mask (FV,)."""
+  FV = h.spec.face.shape[1]
+  idx = jnp.asarray(h.spec.face)[f]                       # (FV,)
+  poly = h.vert[idx]
+  k = jnp.arange(FV)
+  mask = k < jnp.asarray(h.spec.face_nvert)[f]
+  return poly, mask
+
+
+def _point_in_poly(pts, poly, poly_mask, n):
+  """pts (P,3) inside convex polygon (Q,3 masked, normal n)? -> (P,) bool.
+
+  Padded polygon entries repeat a true vertex; the resulting zero-length
+  edges produce zero cross products which we treat as inside.
+  """
+  Q = poly.shape[0]
+  nxt = jnp.roll(jnp.arange(Q), -1)
+  # for padded polys, roll can pair padding with vertex 0: build edges only
+  # between consecutive *valid* entries by using the masked wrap: since
+  # padding repeats the last valid vertex, edges involving padding are
+  # zero-length or duplicate the closing edge — both harmless.
+  e = poly[nxt] - poly                                    # (Q,3)
+  rel = pts[:, None, :] - poly[None, :, :]                # (P,Q,3)
+  crs = jnp.cross(e[None], rel)                           # (P,Q,3)
+  side = jnp.einsum('pqi,i->pq', crs, n)
+  edge_ok = (side >= -1e-9) | ~poly_mask[None, :]
+  return jnp.all(edge_ok, axis=1)
+
+
+def _seg_seg_cross_2d(p_a, e_a, p_b, e_b, n):
+  """Intersection of segments (in the plane ⟂ n): returns (point, hit)."""
+  d = jnp.cross(e_a, e_b)
+  dn = jnp.dot(d, n)
+  r = p_b - p_a
+  t = jnp.dot(jnp.cross(r, e_b), n) / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+  s = jnp.dot(jnp.cross(r, e_a), n) / jnp.where(jnp.abs(dn) > 1e-12, dn, 1.0)
+  hit = (jnp.abs(dn) > 1e-12) & (t >= 0) & (t <= 1) & (s >= 0) & (s <= 1)
+  return p_a + t * e_a, hit
+
+
+def _face_face_manifold(h_ref: WorldHull, f_ref, h_inc: WorldHull, f_inc,
+                        margin, nslot: int):
+  """Contact candidates where face f_inc of h_inc meets face f_ref of h_ref.
+
+  Candidates = inc-verts inside ref-poly + ref-verts inside inc-poly +
+  pairwise edge crossings, all projected along the ref normal; up to
+  ``nslot`` survivors are selected by depth then spread.
+  Returns (dist, pos) of shape (nslot,), (nslot, 3) with +BIG padding.
+  """
+  n = h_ref.face_normal[f_ref]                            # ref outward normal
+  poly_r, mask_r = _face_poly(h_ref, f_ref)               # (FR,3)
+  poly_i, mask_i = _face_poly(h_inc, f_inc)               # (FI,3)
+  ni = h_inc.face_normal[f_inc]
+  pr = poly_r[0]
+  pi = poly_i[0]
+
+  def depth_at(x):
+    # separation along n between ref plane and inc plane at 2D location x
+    denom = jnp.dot(ni, n)
+    denom = jnp.where(jnp.abs(denom) < 1e-9,
+                      jnp.where(denom < 0, -1e-9, 1e-9), denom)
+    t = jnp.dot(ni, pi - x) / denom
+    return t
+
+  # project everything onto the ref plane for the 2D tests
+  def proj(x):
+    return x - n * jnp.dot(x - pr, n)
+
+  poly_r2 = jax.vmap(proj)(poly_r)
+  poly_i2 = jax.vmap(proj)(poly_i)
+
+  # candidate set 1: incident verts inside ref polygon
+  in_r = _point_in_poly(poly_i2, poly_r2, mask_r, n) & mask_i
+  # candidate set 2: ref verts inside incident polygon (2D along n)
+  in_i = _point_in_poly(poly_r2, poly_i2, mask_i, n) & mask_r
+  # candidate set 3: edge-edge crossings
+  FR, FI = poly_r2.shape[0], poly_i2.shape[0]
+  er = poly_r2[jnp.roll(jnp.arange(FR), -1)] - poly_r2
+  ei = poly_i2[jnp.roll(jnp.arange(FI), -1)] - poly_i2
+
+  def cross_one(pa, ea, va):
+    def cross_two(pb, eb, vb):
+      pt, hit = _seg_seg_cross_2d(pa, ea, pb, eb, n)
+      return pt, hit & va & vb
+    return jax.vmap(cross_two)(poly_i2, ei, mask_i)
+
+  xpts, xhit = jax.vmap(cross_one)(poly_r2, er, mask_r)
+  xpts = xpts.reshape(-1, 3)
+  xhit = xhit.reshape(-1)
+
+  cand = jnp.concatenate([poly_i2, poly_r2, xpts], axis=0)
+  valid = jnp.concatenate([in_r, in_i, xhit], axis=0)
+  depth = jax.vmap(depth_at)(cand)
+  valid = valid & (depth <= margin)
+  score = jnp.where(valid, depth, _BIG)
+
+  # selection: deepest first, then maximize minimum spread
+  N = cand.shape[0]
+  sel = jnp.zeros(N, bool)
+  out_d, out_p = [], []
+  mind = jnp.full(N, _BIG)
+  for k in range(nslot):
+    if k == 0:
+      pick = jnp.argmin(score)
+    else:
+      # among valid unpicked, prefer far from already-picked; tie-break depth
+      spread = jnp.where(valid & ~sel, mind, -_BIG)
+      pick = jnp.argmax(spread - 1e-6 * depth)
+    ok = valid[pick] & ~sel[pick]
+    out_d.append(jnp.where(ok, depth[pick], _BIG))
+    out_p.append(cand[pick] + n * (depth[pick] * 0.5))
+    sel = sel.at[pick].set(True)
+    mind = jnp.minimum(mind, jnp.linalg.norm(cand - cand[pick], axis=1))
+  return jnp.stack(out_d), jnp.stack(out_p)
+
+
+# ---------------------------------------------------------------------------
+# closest point queries (rounded shapes)
+# ---------------------------------------------------------------------------
+
+
+def _closest_pt_tri(p, a, b, c):
+  """Closest point on triangle (clean region decomposition)."""
+  ab, ac, ap = b - a, c - a, p - a
+  d1, d2 = jnp.dot(ab, ap), jnp.dot(ac, ap)
+  bp = p - b
+  d3, d4 = jnp.dot(ab, bp), jnp.dot(ac, bp)
+  cp = p - c
+  d5, d6 = jnp.dot(ab, cp), jnp.dot(ac, cp)
+  safe = lambda x: jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+
+  # barycentric candidates
+  va = d3 * d6 - d5 * d4
+  vb = d5 * d2 - d1 * d6
+  vc = d1 * d4 - d3 * d2
+  v_face = vb / safe(va + vb + vc)
+  w_face = vc / safe(va + vb + vc)
+  p_face = a + ab * v_face + ac * w_face
+
+  p_ab = a + jnp.clip(d1 / safe(d1 - d3), 0, 1) * ab
+  p_ac = a + jnp.clip(d2 / safe(d2 - d6), 0, 1) * ac
+  p_bc = b + jnp.clip((d4 - d3) / safe((d4 - d3) + (d5 - d6)), 0, 1) * (c - b)
+
+  out = p_face
+  out = jnp.where((vc <= 0) & (d1 >= 0) & (d3 <= 0), p_ab, out)
+  out = jnp.where((vb <= 0) & (d2 >= 0) & (d6 <= 0), p_ac, out)
+  out = jnp.where((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0), p_bc, out)
+  out = jnp.where((d1 <= 0) & (d2 <= 0), a, out)
+  out = jnp.where((d3 >= 0) & (d4 <= d3), b, out)
+  out = jnp.where((d6 >= 0) & (d5 <= d6), c, out)
+  return out
+
+
+def _closest_surface_point(h: WorldHull, p):
+  """Closest point on the hull *surface* to p + inside flag."""
+  tri = jnp.asarray(h.spec.tri)
+  a, b, c = h.vert[tri[:, 0]], h.vert[tri[:, 1]], h.vert[tri[:, 2]]
+  pts = jax.vmap(lambda aa, bb, cc: _closest_pt_tri(p, aa, bb, cc))(
+      a, b, c)
+  d = jnp.linalg.norm(pts - p, axis=1)
+  k = jnp.argmin(d)
+  # inside iff p is behind every face plane
+  anchor = h.vert[h.spec.face[:, 0]]
+  behind = jnp.einsum('fi,fi->f', h.face_normal, p[None] - anchor) <= 0
+  return pts[k], d[k], jnp.all(behind)
+
+
+def _deepest_face(h: WorldHull, p):
+  """For a point inside the hull: face with least penetration + projection."""
+  anchor = h.vert[h.spec.face[:, 0]]
+  sd = jnp.einsum('fi,fi->f', h.face_normal, p[None] - anchor)  # negative
+  f = jnp.argmax(sd)
+  n = h.face_normal[f]
+  return f, n, sd[f], p - n * sd[f]
+
+
+# ---------------------------------------------------------------------------
+# public kernels (driver signature: (p1,m1,s1,p2,m2,s2,margin) -> slots)
+# ---------------------------------------------------------------------------
+
+
+def make_plane_convex(spec2: HullSpec, is_box2: bool):
+  """Plane vs convex hull: 4 deepest vertices below margin.
+
+  ref ``mjc_PlaneConvex`` (engine_collision_convex.c); MJX plane_convex
+  keeps 4 manifold points likewise.
+  """
+  nslot = 4
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    n = m1[:, 2]
+    h2 = hull_world(spec2, p2, m2, s2 if is_box2 else None)
+    d = (h2.vert - p1) @ n                                 # (V,)
+    # 4 deepest verts, masked by margin
+    neg = jnp.where(d <= margin, d, _BIG)
+    _, idx = jax.lax.top_k(-neg, nslot)
+    dist = jnp.where(neg[idx] < _BIG, d[idx], _BIG)
+    pos = h2.vert[idx] - n[None] * (dist[:, None] * 0.5)
+    nrm = jnp.tile(n[None], (nslot, 1))
+    z = jnp.zeros((nslot, 3), dtype=p1.dtype)
+    return dist, pos, nrm, z
+
+  return fn
+
+
+def make_sphere_convex(spec2: HullSpec, is_box2: bool):
+  """Sphere vs convex hull: exact closest surface point (1 contact)."""
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    r = s1[0]
+    h2 = hull_world(spec2, p2, m2, s2 if is_box2 else None)
+    q, dsurf, inside = _closest_surface_point(h2, p1)
+    _, n_in, sd, q_in = _deepest_face(h2, p1)
+
+    n_out = (q - p1) / jnp.maximum(dsurf, 1e-12)           # center -> hull
+    dist_out = dsurf - r
+    dist_in = -((-sd) + r)                                 # center depth + r
+    n = jnp.where(inside, -n_in, n_out)                    # 1 -> 2 direction
+    dist = jnp.where(inside, dist_in, dist_out)
+    q_sel = jnp.where(inside, q_in, q)
+    pos = 0.5 * ((p1 + n * r) + q_sel)
+    z = jnp.zeros(3, dtype=p1.dtype)
+    return dist[None], pos[None], (-n)[None] * -1.0, z[None]
+
+  return fn
+
+
+def make_capsule_convex(spec2: HullSpec, is_box2: bool):
+  """Capsule vs convex hull: 2 contacts.
+
+  Shallow case: exact segment-to-surface closest point (per-triangle).
+  Face-parallel case: the segment is clipped to the best face's polygon
+  (both endpoints tested), yielding the 2-point manifold the reference
+  produces for lying capsules (``mjc_CapsuleBox``).
+  Deep case: least-penetration hull face.
+  """
+  nslot = 2
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    r, hl = s1[0], s1[1]
+    axis = m1[:, 2]
+    e1, e2 = p1 + axis * hl, p1 - axis * hl
+    h2 = hull_world(spec2, p2, m2, s2 if is_box2 else None)
+
+    # per-endpoint closest surface point (covers cap-vs-face/edge/vert)
+    q_a, d_a, in_a = _closest_surface_point(h2, e1)
+    q_b, d_b, in_b = _closest_surface_point(h2, e2)
+
+    # segment-interior vs hull edges (covers side-vs-edge contacts)
+    seg_p, seg_d = e1, e2 - e1
+
+    def edge_close(pe, de):
+      c1, c2 = _closest_seg_seg(seg_p, seg_d, pe, de)
+      return c1, c2, jnp.linalg.norm(c2 - c1)
+
+    c1s, c2s, ds = jax.vmap(edge_close)(h2.edge_p0, h2.edge_dir)
+    ke = jnp.argmin(ds)
+
+    # candidate contacts: endpoint A, endpoint B, best edge pair
+    cand_on_seg = jnp.stack([e1, e2, c1s[ke]])
+    cand_on_hull = jnp.stack([q_a, q_b, c2s[ke]])
+    cand_d = jnp.stack([d_a, d_b, ds[ke]])
+    cand_inside = jnp.stack([in_a, in_b, jnp.zeros((), bool)])
+
+    # deep-penetration fallback for inside endpoints
+    def deep(pt):
+      f, n_f, sd, q_in = _deepest_face(h2, pt)
+      return n_f, sd, q_in
+
+    n_da, sd_a, qda = deep(e1)
+    n_db, sd_b, qdb = deep(e2)
+    deep_n = jnp.stack([n_da, n_db, n_da])
+    deep_sd = jnp.stack([sd_a, sd_b, sd_a])
+    deep_q = jnp.stack([qda, qdb, qda])
+
+    diro = cand_on_hull - cand_on_seg
+    dl = jnp.linalg.norm(diro, axis=1, keepdims=True)
+    n_out = diro / jnp.maximum(dl, 1e-12)
+    dist_out = cand_d - r
+    n_in = -deep_n
+    dist_in = deep_sd - r                                  # sd negative
+
+    n_c = jnp.where(cand_inside[:, None], n_in, n_out)
+    dist_c = jnp.where(cand_inside, dist_in, dist_out)
+    hull_pt = jnp.where(cand_inside[:, None], deep_q, cand_on_hull)
+    pos_c = 0.5 * (cand_on_seg + n_c * r + hull_pt)
+
+    # keep the best 2 distinct candidates: sort by dist, drop near-dups
+    order = jnp.argsort(dist_c)
+    d_s, p_s, n_s = dist_c[order], pos_c[order], n_c[order]
+    dup1 = jnp.linalg.norm(p_s[1] - p_s[0]) < 1e-6
+    dup2 = (jnp.linalg.norm(p_s[2] - p_s[0]) < 1e-6) | \
+           (jnp.linalg.norm(p_s[2] - p_s[1]) < 1e-6)
+    d1 = jnp.where(dup1, _BIG, d_s[1])
+    d2 = jnp.where(dup2, _BIG, d_s[2])
+    second = jnp.where(d1 <= d2, 1, 2)
+    dist = jnp.stack([d_s[0], jnp.minimum(d1, d2)])
+    pos = jnp.stack([p_s[0], p_s[second]])
+    nrm = jnp.stack([n_s[0], n_s[second]])
+    dist = jnp.where(dist <= margin, dist, _BIG)
+    z = jnp.zeros((nslot, 3), dtype=p1.dtype)
+    return dist, pos, nrm, z
+
+  return fn
+
+
+def make_convex_convex(spec1: HullSpec, is_box1: bool,
+                       spec2: HullSpec, is_box2: bool):
+  """General convex-convex SAT (box-box, box-mesh, mesh-mesh): 4 contacts.
+
+  Candidate axes: all polygon face normals of both hulls + Gauss-map-valid
+  edge-pair cross products.  Face winner -> polygon-intersection manifold;
+  edge winner -> single closest-point contact.
+  """
+  nslot = 4
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    ha = hull_world(spec1, p1, m1, s1 if is_box1 else None)
+    hb = hull_world(spec2, p2, m2, s2 if is_box2 else None)
+
+    sep_fa = _face_separations(ha, hb.vert)                # (Fa,)
+    sep_fb = _face_separations(hb, ha.vert)                # (Fb,)
+    ax_e, sep_e, val_e = _edge_axes(ha, hb)               # (Ea,Eb)
+
+    best_fa = jnp.argmax(sep_fa)
+    best_fb = jnp.argmax(sep_fb)
+    sfa = sep_fa[best_fa]
+    sfb = sep_fb[best_fb]
+
+    sep_e_m = jnp.where(val_e, sep_e, -_BIG)
+    flat = jnp.argmax(sep_e_m)
+    ia, ib = flat // sep_e.shape[1], flat % sep_e.shape[1]
+    se = sep_e_m[ia, ib]
+
+    # prefer faces on near ties (stabler manifolds), like the reference's
+    # box-box which biases face axes over edge axes
+    eps = 1e-6
+    face_sep = jnp.maximum(sfa, sfb)
+    use_edge = se > face_sep + eps
+    use_a = sfa >= sfb
+
+    # --- face manifolds (computed both ways, selected) ---
+    # incident face = most anti-parallel to reference normal
+    n_a = ha.face_normal[best_fa]
+    inc_b = jnp.argmin(hb.face_normal @ n_a)
+    d_af, p_af = _face_face_manifold(ha, best_fa, hb, inc_b, margin, nslot)
+
+    n_b = hb.face_normal[best_fb]
+    inc_a = jnp.argmin(ha.face_normal @ n_b)
+    d_bf, p_bf = _face_face_manifold(hb, best_fb, ha, inc_a, margin, nslot)
+
+    d_face = jnp.where(use_a, d_af, d_bf)
+    p_face = jnp.where(use_a, p_af, p_bf)
+    n_face = jnp.where(use_a, n_a, -n_b)                   # 1 -> 2
+
+    # --- edge-edge contact ---
+    c1, c2 = _closest_seg_seg(
+        ha.edge_p0[ia], ha.edge_dir[ia], hb.edge_p0[ib], hb.edge_dir[ib])
+    n_edge = ax_e[ia, ib]
+    d_edge0 = se
+    p_edge0 = 0.5 * (c1 + c2)
+    d_edge = jnp.concatenate([
+        jnp.where(d_edge0 <= margin, d_edge0, _BIG)[None],
+        jnp.full((nslot - 1,), _BIG, dtype=p1.dtype),
+    ])
+    p_edge = jnp.concatenate([p_edge0[None],
+                              jnp.zeros((nslot - 1, 3), dtype=p1.dtype)])
+
+    dist = jnp.where(use_edge, d_edge, d_face)
+    pos = jnp.where(use_edge, p_edge, p_face)
+    nrm = jnp.tile(jnp.where(use_edge, n_edge, n_face)[None], (nslot, 1))
+    # total miss: nothing within margin on the best axis
+    sep_best = jnp.maximum(face_sep, se)
+    dist = jnp.where(sep_best > margin, _BIG, dist)
+    z = jnp.zeros((nslot, 3), dtype=p1.dtype)
+    return dist, pos, nrm, z
+
+  return fn

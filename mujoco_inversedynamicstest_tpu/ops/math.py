@@ -139,11 +139,31 @@ def axis_angle_quat(axis: jax.Array, angle: jax.Array):
   )
 
 
+def _small_angle_eps(dtype):
+  """Angle² threshold below which Taylor branches take over.
+
+  Chosen so the Taylor truncation error sits below machine eps while the
+  exact branch's AD chain (which produces 1/angle³-scale intermediates in
+  higher-order derivatives) never sees a denormal-scale angle — required
+  for finite f32 Hessians of pose costs (iLQR quadratization)."""
+  return 1e-8 if dtype == jnp.float32 else 1e-16
+
+
 def quat_exp(vel: jax.Array):
-  """Exponential map: 3-vector rotation ``vel`` -> quaternion."""
-  angle = norm_safe(vel)
-  axis = vel / angle[..., None]
-  return axis_angle_quat(axis, angle)
+  """Exponential map: 3-vector rotation ``vel`` -> quaternion.
+
+  Branchless with a sanitized-input Taylor guard: the ``sqrt`` only ever
+  sees angle² >= eps, so all orders of AD stay finite at zero rotation
+  (the double-``where`` pattern).
+  """
+  dtype = vel.dtype
+  s2 = jnp.sum(vel * vel, axis=-1, keepdims=True)
+  small = s2 < _small_angle_eps(dtype)
+  angle = jnp.sqrt(jnp.where(small, 1.0, s2))
+  # sin(a/2)/a and cos(a/2), Taylor through zero
+  sinc_h = jnp.where(small, 0.5 - s2 / 48.0, jnp.sin(angle / 2) / angle)
+  cos_h = jnp.where(small, 1.0 - s2 / 8.0, jnp.cos(angle / 2))
+  return jnp.concatenate([cos_h, vel * sinc_h], axis=-1)
 
 
 def quat_integrate(quat: jax.Array, vel: jax.Array, dt):
@@ -167,12 +187,14 @@ def quat_sub(qa: jax.Array, qb: jax.Array):
   v = qdif[..., 1:4]
   w = qdif[..., 0]
   s2 = jnp.sum(v * v, axis=-1)
-  s = jnp.sqrt(jnp.maximum(s2, jnp.finfo(qdif.dtype).tiny))
   # rotvec = v * k with k = 2*atan2(s, w)/s; near s=0 use the Taylor
-  # expansion k = 2/w - 2*s^2/(3*w^3), keeping the map (and its jvp —
-  # needed by transition_ad / jacfwd) smooth through zero rotation.
-  small = s2 < 1e-12
-  k_exact = 2.0 * jnp.arctan2(s, w) / jnp.where(small, 1.0, s)
+  # expansion k = 2/w - 2*s^2/(3*w^3).  The sqrt argument is sanitized so
+  # the exact branch's AD chain never sees a denormal-scale s — keeps all
+  # orders of derivatives finite at zero rotation in f32 (the iLQR cost
+  # Hessian path) as well as the jvp used by transition_ad.
+  small = s2 < _small_angle_eps(qdif.dtype)
+  s = jnp.sqrt(jnp.where(small, 1.0, s2))
+  k_exact = 2.0 * jnp.arctan2(s, w) / s
   k_taylor = 2.0 / w - 2.0 * s2 / (3.0 * w**3)
   k = jnp.where(small, k_taylor, k_exact)
   return v * k[..., None]

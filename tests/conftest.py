@@ -25,6 +25,9 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is dominated by XLA compiles of
 # the step/solver graphs; caching them makes repeat runs (CI, driver) fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# MI_NO_COMPILE_CACHE=1 disables it (debugging aid: the CPU AOT
+# deserialization path of some jaxlib builds can be unstable).
+if not os.environ.get("MI_NO_COMPILE_CACHE"):
+  jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+  jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
