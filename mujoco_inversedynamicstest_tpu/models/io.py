@@ -156,11 +156,13 @@ def put_option(mj_opt, dtype) -> Option:
       impratio=jnp.asarray(mj_opt.impratio, dtype=dtype),
       tolerance=jnp.asarray(mj_opt.tolerance, dtype=dtype),
       ls_tolerance=jnp.asarray(mj_opt.ls_tolerance, dtype=dtype),
+      noslip_tolerance=jnp.asarray(mj_opt.noslip_tolerance, dtype=dtype),
       integrator=int(mj_opt.integrator),
       cone=int(mj_opt.cone),
       solver=int(mj_opt.solver),
       iterations=int(mj_opt.iterations),
       ls_iterations=int(mj_opt.ls_iterations),
+      noslip_iterations=int(mj_opt.noslip_iterations),
       disableflags=int(mj_opt.disableflags),
       enableflags=int(mj_opt.enableflags),
   )
@@ -235,10 +237,6 @@ def validate_model(mjm) -> None:
   for jt in _np(mjm.jnt_type):
     JointType(jt)  # raises on unsupported joint types
 
-  if mjm.opt.cone == ConeType.ELLIPTIC:
-    bad("elliptic friction cone (option cone='elliptic'); use pyramidal")
-  if mjm.opt.noslip_iterations > 0:
-    bad("noslip solver post-pass (option noslip_iterations > 0)")
   if mjm.opt.enableflags & EnableBit.OVERRIDE:
     bad("contact override (o_margin/o_solref/o_solimp, flag override)")
   if mjm.opt.solver == SolverType.PGS:

@@ -272,12 +272,14 @@ class Option:
   impratio: jax.Array
   tolerance: jax.Array
   ls_tolerance: jax.Array
+  noslip_tolerance: jax.Array = None
   # --- static ---
   integrator: int = static_field(default=IntegratorType.EULER)
   cone: int = static_field(default=ConeType.PYRAMIDAL)
   solver: int = static_field(default=SolverType.NEWTON)
   iterations: int = static_field(default=100)
   ls_iterations: int = static_field(default=50)
+  noslip_iterations: int = static_field(default=0)
   disableflags: int = static_field(default=0)
   enableflags: int = static_field(default=0)
 

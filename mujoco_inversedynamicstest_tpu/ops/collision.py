@@ -193,12 +193,15 @@ def contact_layout(m: Model) -> ContactLayout:
       slot_g2 += [g2] * nslot
       slot_dim += [condim] * nslot
 
+  from mujoco_inversedynamicstest_tpu.models.types import ConeType
+
+  elliptic = m.opt.cone == ConeType.ELLIPTIC
   dim = np.array(slot_dim, np.int32)
   efc_address = np.zeros(len(dim), np.int32)
   adr = 0
   for i, c in enumerate(dim):
     efc_address[i] = adr
-    adr += 1 if c == 1 else 2 * (c - 1)
+    adr += 1 if c == 1 else (c if elliptic else 2 * (c - 1))
 
   return ContactLayout(
       groups=tuple(groups),
@@ -211,9 +214,14 @@ def contact_layout(m: Model) -> ContactLayout:
 
 
 def ncon_rows(m: Model) -> int:
-  """Total pyramidal efc rows implied by the contact layout."""
+  """Total contact efc rows implied by the contact layout + cone type."""
+  from mujoco_inversedynamicstest_tpu.models.types import ConeType
+
   lay = contact_layout(m)
-  return int(sum(1 if c == 1 else 2 * (c - 1) for c in lay.dim))
+  elliptic = m.opt.cone == ConeType.ELLIPTIC
+  return int(sum(
+      1 if c == 1 else (c if elliptic else 2 * (c - 1)) for c in lay.dim
+  ))
 
 
 def make_frame(normal: jax.Array, yhint: jax.Array) -> jax.Array:

@@ -65,13 +65,20 @@ def row_layout(m: Model) -> RowLayout:
   types, ids = [], []
   ne = nf = nl = 0
 
-  # contact rows (pyramidal cone; ref mj_instantiateContact:964)
+  # contact rows (ref mj_instantiateContact:964): pyramidal 2(dim-1) rows,
+  # elliptic dim rows, frictionless 1
+  from mujoco_inversedynamicstest_tpu.models.types import ConeType
+
+  elliptic = m.opt.cone == ConeType.ELLIPTIC
   con_types, con_ids = [], []
   clay = collision.contact_layout(m)
   for slot, condim in enumerate(clay.dim):
     if condim == 1:
       con_types.append(ConstraintType.CONTACT_FRICTIONLESS)
       con_ids.append(slot)
+    elif elliptic:
+      con_types += [ConstraintType.CONTACT_ELLIPTIC] * condim
+      con_ids += [slot] * condim
     else:
       con_types += [ConstraintType.CONTACT_PYRAMIDAL] * (2 * (condim - 1))
       con_ids += [slot] * (2 * (condim - 1))
@@ -610,12 +617,48 @@ def _eq_acc_bias(m: Model, d: Data, lay: RowLayout) -> jax.Array:
   return bias
 
 
+def _is_elliptic(m: Model) -> bool:
+  from mujoco_inversedynamicstest_tpu.models.types import ConeType
+
+  return m.opt.cone == ConeType.ELLIPTIC
+
+
+def _contact_row_map(m: Model, clay):
+  """Static per-efc-contact-row tables: (slot, axis k, sign).
+
+  Pyramidal: one (k, ±1) pair per friction axis (k=1..dim-1).
+  Elliptic: one row per cone dimension, k = row index (0 = normal).
+  Frictionless: one normal row with k=0, sign=0.
+  """
+  elliptic = _is_elliptic(m)
+  slot_idx, k_idx, sign_np = [], [], []
+  for slot, condim in enumerate(clay.dim):
+    if condim == 1:
+      slot_idx.append(slot)
+      k_idx.append(0)
+      sign_np.append(0.0)
+    elif elliptic:
+      for j in range(condim):
+        slot_idx.append(slot)
+        k_idx.append(j)
+        sign_np.append(0.0)
+    else:
+      for k in range(1, condim):
+        for s in (1.0, -1.0):
+          slot_idx.append(slot)
+          k_idx.append(k)
+          sign_np.append(s)
+  return (np.array(slot_idx, np.int32), np.array(k_idx, np.int32),
+          np.array(sign_np))
+
+
 def _contact_rows(m: Model, d: Data):
-  """Builds pyramidal contact rows from the static-shape contact set.
+  """Builds contact rows from the static-shape contact set.
 
   (ref ``mj_instantiateContact``:964, contact ``mj_diagApprox``:1240,
-  pyramidal R adjustment in ``mj_makeImpedance``:1560).  Returns
-  (J, pos, margin, active, KBIP, R, D) for the contact row block.
+  R adjustments in ``mj_makeImpedance``:1560: pyramidal common
+  Rpy = 2 mu_reg^2 R0; elliptic R1 = R0/impratio, Rj mu_j^2 = const).
+  Returns (J, pos, margin, active, KBIP, R, D) for the contact row block.
   """
   from mujoco_inversedynamicstest_tpu.ops import collision
 
@@ -623,43 +666,40 @@ def _contact_rows(m: Model, d: Data):
   con = d.contact
   dtype = d.qpos.dtype
   ncon = clay.ncon
+  elliptic = _is_elliptic(m)
 
   b1 = m.geom_bodyid[clay.geom1]
   b2 = m.geom_bodyid[clay.geom2]
 
-  # static row gather: for each efc contact row -> (slot, axis k, sign)
-  slot_idx, k_idx, sign_np = [], [], []
-  for slot, condim in enumerate(clay.dim):
-    if condim == 1:
-      slot_idx.append(slot)
-      k_idx.append(0)       # normal only
-      sign_np.append(0.0)
-    else:
-      for k in range(1, condim):
-        for s in (1.0, -1.0):
-          slot_idx.append(slot)
-          k_idx.append(k)
-          sign_np.append(s)
-  slot_idx = np.array(slot_idx, np.int32)
-  k_idx = np.array(k_idx, np.int32)
-  sign = jnp.asarray(np.array(sign_np), dtype=dtype)
+  slot_idx, k_idx, sign_np = _contact_row_map(m, clay)
+  sign = jnp.asarray(sign_np, dtype=dtype)
   nrows = len(slot_idx)
 
-  # per-row world wrench (w_t translation dir, w_r rotation dir):
-  #   row = J_normal + sign*mu_k*J_axis(k); axes 1,2 are tangential
-  #   (translation), 3..5 rotational (frame rows 0..2)
+  # per-row world wrench (w_t translation dir, w_r rotation dir)
   frame = con.frame[slot_idx]            # (nrows, 3, 3)
   n_dir = frame[:, 0]
-  is_tan = (k_idx >= 1) & (k_idx <= 2)
-  tan_row = np.where(is_tan, np.maximum(k_idx, 1), 1)
-  rot_row = np.where(k_idx >= 3, k_idx - 3, 0)
-  mu_row = con.friction[slot_idx, np.maximum(k_idx - 1, 0)]
-  axis_t = frame[np.arange(nrows), tan_row] * jnp.asarray(
-      is_tan, dtype=dtype)[:, None]
-  axis_r = frame[np.arange(nrows), rot_row] * jnp.asarray(
-      k_idx >= 3, dtype=dtype)[:, None]
-  w_t = n_dir + sign[:, None] * mu_row[:, None] * axis_t
-  w_r = sign[:, None] * mu_row[:, None] * axis_r
+
+  if elliptic:
+    # row k: translation axis for k<3, rotation axis for k>=3
+    is_t = k_idx < 3
+    t_row = np.where(is_t, k_idx, 0)
+    r_row = np.where(is_t, 0, k_idx - 3)
+    w_t = frame[np.arange(nrows), t_row] * jnp.asarray(
+        is_t, dtype=dtype)[:, None]
+    w_r = frame[np.arange(nrows), r_row] * jnp.asarray(
+        ~is_t, dtype=dtype)[:, None]
+  else:
+    # row = J_normal + sign*mu_k*J_axis(k); axes 1,2 tangential, 3..5 rot
+    is_tan = (k_idx >= 1) & (k_idx <= 2)
+    tan_row = np.where(is_tan, np.maximum(k_idx, 1), 1)
+    rot_row = np.where(k_idx >= 3, k_idx - 3, 0)
+    mu_row = con.friction[slot_idx, np.maximum(k_idx - 1, 0)]
+    axis_t = frame[np.arange(nrows), tan_row] * jnp.asarray(
+        is_tan, dtype=dtype)[:, None]
+    axis_r = frame[np.arange(nrows), rot_row] * jnp.asarray(
+        k_idx >= 3, dtype=dtype)[:, None]
+    w_t = n_dir + sign[:, None] * mu_row[:, None] * axis_t
+    w_r = sign[:, None] * mu_row[:, None] * axis_r
 
   # per-side 6D contraction vectors u = [(p - com_side) x w_t + w_r ; w_t]
   # so that row_J[v] = mask2*cdof_v.u2 - mask1*cdof_v.u1  (one MXU matmul
@@ -683,9 +723,6 @@ def _contact_rows(m: Model, d: Data):
   invw = m.body_invweight0
   tran = invw[b1, 0] + invw[b2, 0]       # (ncon,)
   rot = invw[b1, 1] + invw[b2, 1]
-  base_rot = jnp.where(jnp.asarray(k_idx >= 3), rot[slot_idx],
-                       tran[slot_idx])
-  da_row = tran[slot_idx] + mu_row**2 * base_rot
 
   # shared per-contact impedance at pos = dist
   imp, impp = _impedance(con.solimp, con.dist, con.includemargin)
@@ -694,30 +731,288 @@ def _contact_rows(m: Model, d: Data):
       np.zeros(ncon, dtype=bool),
   )                                      # (ncon, 4)
 
-  # per-contact R of the first row, then pyramidal replacement
-  mu0 = con.friction[:, 0]
-  da0 = jnp.where(
-      jnp.asarray(clay.dim == 1), tran, tran + mu0**2 * tran
-  )
-  r0 = jnp.maximum(math.MINVAL, (1 - imp) * da0 / imp)
-  mu_reg = mu0 / jnp.sqrt(m.opt.impratio)
-  r_py = 2.0 * mu_reg**2 * r0
-
   active_con = con.dist < con.includemargin
-
-  is_normal = k_idx == 0
-  rows_pos = con.dist[slot_idx]
-  rows_margin = con.includemargin[slot_idx]
+  if elliptic:
+    # elliptic: pos/margin only on the normal row (ref :1118-1125)
+    rows_pos = jnp.where(jnp.asarray(k_idx == 0), con.dist[slot_idx], 0.0)
+    rows_margin = jnp.where(
+        jnp.asarray(k_idx == 0), con.includemargin[slot_idx], 0.0)
+  else:
+    # pyramidal: every row carries the contact dist (ref :1098-1100)
+    rows_pos = con.dist[slot_idx]
+    rows_margin = con.includemargin[slot_idx]
   rows_active = active_con[slot_idx]
-  rows_kbip = kbip_con[slot_idx]
-  rows_r = jnp.where(
-      jnp.asarray(is_normal), r0[slot_idx], r_py[slot_idx]
-  )
+  mu0 = con.friction[:, 0]
+
+  if elliptic:
+    # per-row diagApprox: tran for translational, rot for rotational rows
+    da_row = jnp.where(jnp.asarray(k_idx < 3), tran[slot_idx],
+                       rot[slot_idx])
+    r_raw = jnp.maximum(math.MINVAL, (1 - imp[slot_idx]) * da_row
+                        / imp[slot_idx])
+    # R0 per slot (normal rows are k==0)
+    r0 = jnp.maximum(math.MINVAL, (1 - imp) * tran / imp)
+    r1 = r0 / jnp.maximum(math.MINVAL, m.opt.impratio)
+    fr_row = con.friction[slot_idx, np.maximum(k_idx - 1, 0)]
+    r_fric = r1[slot_idx] * (mu0[slot_idx] ** 2) / jnp.maximum(
+        math.MINVAL, fr_row**2)
+    rows_r = jnp.where(jnp.asarray(k_idx == 0), r_raw, r_fric)
+    del r_raw
+
+    # KBIP: friction rows K=0; B from solreffriction when set
+    srf = con.solreffriction[slot_idx]
+    has_srf = jnp.any(srf != 0, axis=1)
+    is_fric_row = k_idx > 0
+    kbip_fric = _kbip(
+        m,
+        jnp.where(has_srf[:, None], srf, con.solref[slot_idx]),
+        con.solimp[slot_idx], imp[slot_idx], impp[slot_idx],
+        np.ones(nrows, dtype=bool),
+    )
+    rows_kbip = jnp.where(
+        jnp.asarray(is_fric_row)[:, None], kbip_fric, kbip_con[slot_idx]
+    )
+  else:
+    mu_row = con.friction[slot_idx, np.maximum(k_idx - 1, 0)]
+    base_rot = jnp.where(jnp.asarray(k_idx >= 3), rot[slot_idx],
+                         tran[slot_idx])
+    da_row = tran[slot_idx] + mu_row**2 * base_rot
+    del da_row  # pyramidal rows all use the common Rpy below
+
+    da0 = jnp.where(
+        jnp.asarray(clay.dim == 1), tran, tran + mu0**2 * tran
+    )
+    r0 = jnp.maximum(math.MINVAL, (1 - imp) * da0 / imp)
+    mu_reg = mu0 / jnp.sqrt(m.opt.impratio)
+    r_py = 2.0 * mu_reg**2 * r0
+    is_normal = k_idx == 0
+    rows_r = jnp.where(
+        jnp.asarray(is_normal), r0[slot_idx], r_py[slot_idx]
+    )
+    rows_kbip = kbip_con[slot_idx]
+
   rows_d = jnp.where(rows_active, 1.0 / rows_r, 0.0)
   rows_J = rows_J * rows_active[:, None].astype(dtype)
 
   return (rows_J, rows_pos, rows_margin, rows_active, rows_kbip, rows_r,
           rows_d)
+
+
+class ConeTables(NamedTuple):
+  """Static gather tables for elliptic cone contacts (slots with dim>1)."""
+  nes: int               # number of elliptic contact slots
+  slot: np.ndarray       # (nes,) contact slot index
+  rows: np.ndarray       # (nes, 6) efc row index per cone dim (0-padded)
+  rmask: np.ndarray      # (nes, 6) bool valid rows
+  dim: np.ndarray        # (nes,)
+
+
+def cone_tables(m: Model) -> ConeTables:
+  """Builds the elliptic cone gather tables (empty for pyramidal)."""
+  from mujoco_inversedynamicstest_tpu.ops import collision
+
+  if not _is_elliptic(m):
+    return ConeTables(0, np.zeros(0, np.int32), np.zeros((0, 6), np.int32),
+                      np.zeros((0, 6), bool), np.zeros(0, np.int32))
+  clay = collision.contact_layout(m)
+  lay = row_layout(m)
+  base = lay.ne + lay.nf + lay.nl
+  slots, rows, rmask, dims = [], [], [], []
+  for slot, condim in enumerate(clay.dim):
+    if condim == 1:
+      continue
+    adr = base + int(clay.efc_address[slot])
+    # pad with nefc: out-of-bounds scatter indices are dropped by XLA,
+    # gathers are masked by rmask
+    r = [adr + j for j in range(condim)] + [lay.nefc] * (6 - condim)
+    msk = [True] * condim + [False] * (6 - condim)
+    slots.append(slot)
+    rows.append(r)
+    rmask.append(msk)
+    dims.append(condim)
+  if not slots:
+    return ConeTables(0, np.zeros(0, np.int32), np.zeros((0, 6), np.int32),
+                      np.zeros((0, 6), bool), np.zeros(0, np.int32))
+  return ConeTables(
+      nes=len(slots), slot=np.array(slots, np.int32),
+      rows=np.array(rows, np.int32), rmask=np.array(rmask, bool),
+      dim=np.array(dims, np.int32),
+  )
+
+
+def cone_quantities(m: Model, d: Data, ct: ConeTables, jar: jax.Array):
+  """Per-elliptic-slot cone coordinates at ``jar``.
+
+  Returns (U (nes,6) dual-cone coords, N, T, Dm, mu, coef) following the
+  elliptic branch of ``mj_constraintUpdate`` (ref
+  ``engine_core_constraint.c:2460-2530``): U0 = jar0*mu, Uj = jarj*mu_j,
+  N = U0, T = |U[1:]|, Dm = D0/(mu^2 (1+mu^2)).
+  """
+  con = d.contact
+  dtype = jar.dtype
+  mu = con.friction[ct.slot, 0] / jnp.sqrt(
+      jnp.maximum(math.MINVAL, m.opt.impratio))
+  # coef per cone dim: [mu, friction_0.., 0-pad]
+  fr = con.friction[ct.slot]                       # (nes, 5)
+  coef = jnp.concatenate([mu[:, None], fr], axis=1)  # (nes, 6)
+  coef = coef * jnp.asarray(ct.rmask, dtype=dtype)
+
+  jar_rows = jar[ct.rows] * jnp.asarray(ct.rmask, dtype=dtype)
+  U = jar_rows * coef
+  N = U[:, 0]
+  T2 = jnp.sum(U[:, 1:] ** 2, axis=1)
+  T = jnp.sqrt(jnp.maximum(T2, math.MINVAL**2))
+  D0 = d.efc_D[ct.rows[:, 0]]
+  Dm = D0 / jnp.maximum(math.MINVAL, mu * mu * (1 + mu * mu))
+  return U, N, T, T2, Dm, mu, coef
+
+
+def cone_zones(N, T, T2, mu):
+  """Top/bottom/middle zone masks (ref :2470-2490)."""
+  no_t = T2 <= math.MINVAL**2
+  top = (N >= mu * T) | (no_t & (N >= 0))
+  bottom = ((mu * N + T <= 0) & ~top) | (no_t & (N < 0))
+  middle = ~top & ~bottom
+  return top, bottom, middle
+
+
+def cone_hessian(ct: ConeTables, U, N, T, Dm, mu, coef, middle):
+  """Per-slot dim x dim cone Hessian blocks (6x6 padded, zero unless
+  middle zone) — ref ``mj_constraintUpdate`` flg_coneHessian branch."""
+  nes = ct.nes
+  dtype = U.dtype
+  if nes == 0:
+    return jnp.zeros((0, 6, 6), dtype=dtype)
+  eye_t = np.zeros((6, 6))
+  eye_t[range(1, 6), range(1, 6)] = 1.0
+
+  Tsafe = jnp.maximum(T, math.MINVAL)
+  H = jnp.zeros((nes, 6, 6), dtype=dtype)
+  H = H.at[:, 0, 0].set(1.0)
+  scl1 = -mu / Tsafe
+  H = H.at[:, 0, 1:].set(scl1[:, None] * U[:, 1:])
+  H = H.at[:, 1:, 0].set(scl1[:, None] * U[:, 1:])
+  scl2 = mu * N / Tsafe**3
+  H = H.at[:, 1:, 1:].add(
+      scl2[:, None, None] * U[:, 1:, None] * U[:, None, 1:])
+  scl3 = mu * mu - mu * N / Tsafe
+  H = H + scl3[:, None, None] * jnp.asarray(eye_t, dtype=dtype)[None]
+  # scale by Dm * coef_k * coef_j
+  H = H * (Dm[:, None, None] * coef[:, :, None] * coef[:, None, :])
+  return H * middle[:, None, None].astype(dtype)
+
+
+def forces_cost(m: Model, d: Data, jar: jax.Array):
+  """Shared constraint force/cost/state update at ``jar = J qacc - aref``.
+
+  Implements all zones of ``mj_constraintUpdate`` (ref
+  ``engine_core_constraint.c:2387-2560``): equality quadratic, friction
+  linear/quadratic bands, inequality (limits + pyramidal/frictionless
+  contacts), and the elliptic cone top/bottom/middle zones.
+
+  Returns (force, cost, quad_mask, cone_middle) where quad_mask flags rows
+  whose ½ D jar² term is active (drives the Newton Hessian diagonal) and
+  cone_middle flags elliptic slots in the cone zone (drives the cone
+  Hessian blocks).
+  """
+  ne, nf = d.ne, d.nf
+  D, R, floss = d.efc_D, d.efc_R, d.efc_frictionloss
+  ct = cone_tables(m)
+
+  idx = np.arange(d.nefc)
+  is_eq = jnp.asarray(idx < ne)
+  is_fri = jnp.asarray((idx >= ne) & (idx < ne + nf))
+  is_ell_row = np.zeros(d.nefc, bool)
+  if ct.nes:
+    is_ell_row[ct.rows[ct.rmask]] = True
+  is_ell = jnp.asarray(is_ell_row)
+
+  rf = R * floss
+  lin_neg = is_fri & (jar <= -rf)
+  lin_pos = is_fri & (jar >= rf)
+  quad = is_eq | (is_fri & ~lin_neg & ~lin_pos) | (
+      ~is_eq & ~is_fri & ~is_ell & (jar < 0)
+  )
+
+  force = jnp.where(quad, -D * jar, 0.0)
+  force = jnp.where(lin_neg, floss, force)
+  force = jnp.where(lin_pos, -floss, force)
+
+  cost = 0.5 * jnp.sum(jnp.where(quad, D * jar * jar, 0.0))
+  rf2 = 0.5 * R * floss * floss
+  cost += jnp.sum(jnp.where(lin_neg, -rf2 - floss * jar, 0.0))
+  cost += jnp.sum(jnp.where(lin_pos, -rf2 + floss * jar, 0.0))
+
+  cone_middle = jnp.zeros(ct.nes, dtype=bool)
+  if ct.nes:
+    U, N, T, T2, Dm, mu, coef = cone_quantities(m, d, ct, jar)
+    top, bottom, middle = cone_zones(N, T, T2, mu)
+    cone_middle = middle
+
+    # bottom zone: per-row quadratic (flag rows quad, default force kept)
+    brow = jnp.zeros(d.nefc, dtype=bool)
+    brow = brow.at[ct.rows].set(
+        bottom[:, None] & jnp.asarray(ct.rmask))
+    quad = quad | brow
+    jar_rows = jar[ct.rows] * jnp.asarray(ct.rmask, jar.dtype)
+    D_rows = D[ct.rows]
+    cost += 0.5 * jnp.sum(
+        jnp.where(bottom[:, None], D_rows * jar_rows**2, 0.0))
+
+    # bottom force = -D jar on the cone rows; middle force per cone formula
+    NmT = N - mu * T
+    f0 = -Dm * NmT * mu
+    Tsafe = jnp.maximum(T, math.MINVAL)
+    f_mid = jnp.concatenate([
+        f0[:, None],
+        (-f0 / Tsafe)[:, None] * U[:, 1:] * coef[:, 1:],
+    ], axis=1)                                     # (nes, 6)
+    f_bot = -D_rows * jar_rows
+    f_cone = jnp.where(middle[:, None], f_mid,
+                       jnp.where(bottom[:, None], f_bot, 0.0))
+    f_cone = f_cone * jnp.asarray(ct.rmask, jar.dtype)
+    force = force.at[ct.rows].set(f_cone)
+
+    cost += jnp.sum(jnp.where(middle, 0.5 * Dm * NmT * NmT, 0.0))
+
+  force = force * d.efc_active
+  return force, cost, quad, cone_middle
+
+
+def contact_forces_frame(m: Model, d: Data) -> jax.Array:
+  """Per-contact-slot force in the contact frame, (ncon, 6).
+
+  Analog of ``mj_contactForce`` (ref ``engine_support.c:1459``), fully
+  vectorized over slots: pyramidal rows recombine as normal = sum(f),
+  tangent_k = mu_k (f_{2k} - f_{2k+1}); elliptic rows are the force
+  components directly.
+  """
+  from mujoco_inversedynamicstest_tpu.ops import collision
+
+  clay = collision.contact_layout(m)
+  lay = row_layout(m)
+  dtype = d.qpos.dtype
+  ncon = clay.ncon
+  if ncon == 0:
+    return jnp.zeros((0, 6), dtype=dtype)
+
+  base = lay.ne + lay.nf + lay.nl
+  slot_idx, k_idx, sign_np = _contact_row_map(m, clay)
+  f_rows = d.efc_force[base + np.arange(len(slot_idx))]
+  out = jnp.zeros((ncon, 6), dtype=dtype)
+
+  if _is_elliptic(m):
+    return out.at[(slot_idx, k_idx)].add(f_rows)
+
+  # pyramidal: all rows contribute to the normal; friction rows add
+  # sign * mu_k into component k
+  out = out.at[(slot_idx, np.zeros_like(k_idx))].add(f_rows)
+  fric = np.nonzero(k_idx >= 1)[0]
+  if fric.size:
+    mu_row = d.contact.friction[slot_idx[fric], k_idx[fric] - 1]
+    out = out.at[(slot_idx[fric], k_idx[fric])].add(
+        jnp.asarray(sign_np[fric], dtype) * mu_row * f_rows[fric])
+  return out
 
 
 def reference_constraint(m: Model, d: Data) -> Data:
@@ -737,40 +1032,9 @@ def constraint_update(m: Model, d: Data, jar: jax.Array,
   """State-dependent force update (ref ``mj_constraintUpdate``:2556).
 
   Given jar = J qacc - aref, computes efc_force, qfrc_constraint and
-  (optionally) the constraint cost.  Pyramidal/frictionless rows only;
-  elliptic cones arrive with the contact milestone.
+  (optionally) the constraint cost.  All zones, both friction cones.
   """
-  ne, nf = d.ne, d.nf
-  D, R, floss = d.efc_D, d.efc_R, d.efc_frictionloss
-
-  # default: quadratic zone force
-  force = -D * jar
-
-  # active set: equality rows always; friction in quadratic band;
-  # inequality rows (limits, contacts) only in penetration (jar < 0)
-  idx = np.arange(d.nefc)
-  is_eq = jnp.asarray(idx < ne)
-  is_fri = jnp.asarray((idx >= ne) & (idx < ne + nf))
-  lin_neg = is_fri & (jar <= -R * floss)
-  lin_pos = is_fri & (jar >= R * floss)
-  quad = is_eq | (is_fri & ~lin_neg & ~lin_pos) | (~is_eq & ~is_fri & (jar < 0))
-
-  force = jnp.where(lin_neg, floss, force)
-  force = jnp.where(lin_pos, -floss, force)
-  force = jnp.where(quad | lin_neg | lin_pos, force, 0.0)
-  force = force * d.efc_active
-
+  force, cost, _, _ = forces_cost(m, d, jar)
   qfrc = d.efc_J.T @ force
   d = d.replace(efc_force=force, qfrc_constraint=qfrc)
-
-  if not with_cost:
-    return d, None
-
-  cost = 0.5 * jnp.sum(jnp.where(quad, D * jar * jar, 0.0))
-  cost += jnp.sum(
-      jnp.where(lin_neg, -0.5 * R * floss**2 - floss * jar, 0.0)
-  )
-  cost += jnp.sum(
-      jnp.where(lin_pos, -0.5 * R * floss**2 + floss * jar, 0.0)
-  )
-  return d, cost
+  return d, (cost if with_cost else None)

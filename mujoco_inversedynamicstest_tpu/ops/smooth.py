@@ -703,30 +703,12 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
     from mujoco_inversedynamicstest_tpu.ops import constraint as con_mod
 
     clay = coll_mod.contact_layout(m)
-    lay = con_mod.row_layout(m)
-    base = lay.ne + lay.nf + lay.nl
     con = d.contact
     ncon = clay.ncon
 
-    # contact force in contact frame from pyramidal efc forces
-    # (ref mj_contactForce, engine_support.c:1459: normal = sum of pyramid
-    # forces; tangent_k = mu_k * (f_{2k} - f_{2k+1}))
-    forces = jnp.zeros((ncon, 6), dtype=dtype)
-    for slot in range(ncon):
-      condim = int(clay.dim[slot])
-      adr = base + int(clay.efc_address[slot])
-      if condim == 1:
-        forces = forces.at[slot, 0].set(d.efc_force[adr])
-      else:
-        pyr = jax.lax.dynamic_slice(
-            d.efc_force, (adr,), (2 * (condim - 1),)
-        )
-        normal = jnp.sum(pyr)
-        forces = forces.at[slot, 0].set(normal)
-        for k in range(condim - 1):
-          forces = forces.at[slot, 1 + k].set(
-              con.friction[slot, k] * (pyr[2 * k] - pyr[2 * k + 1])
-          )
+    # contact force in contact frame (ref mj_contactForce,
+    # engine_support.c:1459), vectorized over slots and cone-aware
+    forces = con_mod.contact_forces_frame(m, d)
 
     # to world frame: frame rows are [n, t1, t2]
     f_world = jnp.einsum("cij,ci->cj", con.frame, forces[:, :3])

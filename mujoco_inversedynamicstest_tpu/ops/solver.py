@@ -45,6 +45,7 @@ class _State(NamedTuple):
   efc_force: jnp.ndarray
   qfrc_constraint: jnp.ndarray
   quad_mask: jnp.ndarray     # rows currently in the quadratic zone
+  cone_middle: jnp.ndarray   # elliptic slots currently in the cone zone
   cost: jnp.ndarray
   prev_cost: jnp.ndarray
   grad: jnp.ndarray
@@ -53,39 +54,11 @@ class _State(NamedTuple):
   niter: jnp.ndarray
 
 
-def _row_zones(d: Data, jar: jnp.ndarray):
-  """Per-row zone classification given jar = J qacc - aref.
+def _forces_and_cost(m: Model, d: Data, jar: jnp.ndarray):
+  """Constraint forces + penalty cost at jar (all zones, both cones)."""
+  from mujoco_inversedynamicstest_tpu.ops import constraint
 
-  Returns (quad, lin_neg, lin_pos): equality rows are always quadratic,
-  friction rows saturate at +-frictionloss, inequality rows are active
-  only in penetration (ref ``mj_constraintUpdate``:2556).
-  """
-  idx = np.arange(d.nefc)
-  is_eq = jnp.asarray(idx < d.ne)
-  is_fri = jnp.asarray((idx >= d.ne) & (idx < d.ne + d.nf))
-  rf = d.efc_R * d.efc_frictionloss
-  lin_neg = is_fri & (jar <= -rf)
-  lin_pos = is_fri & (jar >= rf)
-  quad = is_eq | (is_fri & ~lin_neg & ~lin_pos) | (
-      ~is_eq & ~is_fri & (jar < 0)
-  )
-  return quad, lin_neg, lin_pos
-
-
-def _forces_and_cost(d: Data, jar: jnp.ndarray):
-  """Constraint forces + penalty cost at jar."""
-  quad, lin_neg, lin_pos = _row_zones(d, jar)
-  floss = d.efc_frictionloss
-  force = jnp.where(quad, -d.efc_D * jar, 0.0)
-  force = jnp.where(lin_neg, floss, force)
-  force = jnp.where(lin_pos, -floss, force)
-  force = force * d.efc_active
-
-  cost = 0.5 * jnp.sum(jnp.where(quad, d.efc_D * jar * jar, 0.0))
-  rf2 = 0.5 * d.efc_R * floss * floss
-  cost += jnp.sum(jnp.where(lin_neg, -rf2 - floss * jar, 0.0))
-  cost += jnp.sum(jnp.where(lin_pos, -rf2 + floss * jar, 0.0))
-  return force, cost, quad
+  return constraint.forces_cost(m, d, jar)
 
 
 def _gauss_cost(d: Data, qacc, ma):
@@ -95,13 +68,14 @@ def _gauss_cost(d: Data, qacc, ma):
 def _eval_state(m: Model, d: Data, qacc, with_grad: bool) -> _State:
   ma = smooth.mul_m(m, d, qacc)
   jaref = d.efc_J @ qacc - d.efc_aref
-  force, ccost, quad = _forces_and_cost(d, jaref)
+  force, ccost, quad, cone_mid = _forces_and_cost(m, d, jaref)
   qfrc = d.efc_J.T @ force
   cost = ccost + _gauss_cost(d, qacc, ma)
   nv0 = jnp.zeros_like(qacc)
   st = _State(
       qacc=qacc, Ma=ma, jaref=jaref, efc_force=force,
-      qfrc_constraint=qfrc, quad_mask=quad, cost=cost,
+      qfrc_constraint=qfrc, quad_mask=quad, cone_middle=cone_mid,
+      cost=cost,
       prev_cost=jnp.asarray(jnp.inf, dtype=qacc.dtype),
       grad=nv0, mgrad=nv0, search=nv0,
       niter=jnp.asarray(0, dtype=jnp.int32),
@@ -116,15 +90,26 @@ def _refresh_gradient(m: Model, d: Data, st: _State) -> _State:
   """grad = M qacc - qfrc_smooth - qfrc_constraint; precondition.
 
   Newton preconditions with the exact constraint Hessian
-  ``M + J' diag(D·quad) J`` (ref ``MakeHessian``/``FactorizeHessian``,
-  engine_solver.c:1387/1501); CG with M itself.
+  ``M + J' diag(D·quad) J`` plus, for elliptic contacts in the cone zone,
+  the per-contact cone Hessian blocks ``J_c' H_c J_c`` (ref
+  ``MakeHessian``/``FactorizeHessian``/``HessianCone``,
+  engine_solver.c:1387/1501/1574); CG with M itself.
   """
-  from mujoco_inversedynamicstest_tpu.ops import linalg
+  from mujoco_inversedynamicstest_tpu.ops import constraint, linalg
 
   grad = st.Ma - d.qfrc_smooth - st.qfrc_constraint
   if m.opt.solver == SolverType.NEWTON:
     dd = d.efc_D * st.quad_mask
     hess = d.qM + (d.efc_J.T * dd) @ d.efc_J
+    ct = constraint.cone_tables(m)
+    if ct.nes:
+      U, N, T, T2, Dm, mu, coef = constraint.cone_quantities(
+          m, d, ct, st.jaref)
+      Hc = constraint.cone_hessian(ct, U, N, T, Dm, mu, coef,
+                                   st.cone_middle)
+      Jc = d.efc_J[np.minimum(ct.rows, d.nefc - 1)] * jnp.asarray(
+          ct.rmask, grad.dtype)[:, :, None]           # (nes, 6, nv)
+      hess = hess + jnp.einsum('eiv,eij,ejw->vw', Jc, Hc, Jc)
     chol = linalg.chol_factor(hess)
     mgrad = linalg.chol_solve(chol, grad)
   else:
@@ -145,6 +130,8 @@ def _linesearch(m: Model, d: Data, st: _State) -> _State:
   phi(alpha) is piecewise quadratic (zones change with alpha); we run a
   fixed budget of safeguarded-Newton bracket updates on phi'.
   """
+  from mujoco_inversedynamicstest_tpu.ops import constraint
+
   dtype = st.qacc.dtype
   mv = smooth.mul_m(m, d, st.search)
   jv = d.efc_J @ st.search
@@ -163,13 +150,37 @@ def _linesearch(m: Model, d: Data, st: _State) -> _State:
   ], axis=1)  # (nefc, 3)
 
   idx = np.arange(d.nefc)
+  is_eq = jnp.asarray(idx < d.ne)
   is_fri = jnp.asarray((idx >= d.ne) & (idx < d.ne + d.nf))
   floss = d.efc_frictionloss
   rf = d.efc_R * floss
 
+  # elliptic cone per-slot quantities along the search direction
+  # (ref ``CGprepare`` engine_solver.c:969-1012)
+  ct = constraint.cone_tables(m)
+  is_ell_np = np.zeros(d.nefc, bool)
+  if ct.nes:
+    is_ell_np[ct.rows[ct.rmask]] = True
+    U, _, _, _, Dm, mu_c, coef = constraint.cone_quantities(
+        m, d, ct, st.jaref)
+    V = jv[np.minimum(ct.rows, d.nefc - 1)] * coef
+    U0, V0 = U[:, 0], V[:, 0]
+    UU = jnp.sum(U[:, 1:] ** 2, axis=1)
+    UV = jnp.sum(U[:, 1:] * V[:, 1:], axis=1)
+    VV = jnp.sum(V[:, 1:] ** 2, axis=1)
+    # per-slot summed row quadratics (bottom-zone contribution)
+    slot_quad = jnp.sum(
+        quad_rows[np.minimum(ct.rows, d.nefc - 1)]
+        * jnp.asarray(ct.rmask, dtype)[:, :, None], axis=1)   # (nes, 3)
+  is_ell = jnp.asarray(is_ell_np)
+
   def phi(alpha):
     x = st.jaref + alpha * jv
-    quad, lin_neg, lin_pos = _row_zones(d, x)
+    lin_neg = is_fri & (x <= -rf)
+    lin_pos = is_fri & (x >= rf)
+    quad = is_eq | (is_fri & ~lin_neg & ~lin_pos) | (
+        ~is_eq & ~is_fri & ~is_ell & (x < 0)
+    )
     # rows in quadratic zone contribute their quadratic; friction rows in
     # the linear zones contribute affine terms
     rows = jnp.where(quad[:, None], quad_rows, 0.0)
@@ -184,9 +195,40 @@ def _linesearch(m: Model, d: Data, st: _State) -> _State:
     rows = jnp.where(lin_neg[:, None], neg_terms, rows)
     rows = jnp.where(lin_pos[:, None], pos_terms, rows)
     total = quad_gauss + jnp.sum(rows, axis=0)
+
     cost = total[0] + alpha * total[1] + alpha * alpha * total[2]
     d0 = total[1] + 2 * alpha * total[2]
-    d1 = 2 * total[2] + (total[2] == 0) * _MINVAL
+    d1 = 2 * total[2]
+
+    if ct.nes:
+      # cone zones at this alpha (ref ``CGeval`` engine_solver.c:1081-1137)
+      N = U0 + alpha * V0
+      Tsqr = UU + alpha * (2 * UV + alpha * VV)
+      no_t = Tsqr <= _MINVAL**2
+      T = jnp.sqrt(jnp.maximum(Tsqr, _MINVAL**2))
+      top = (N >= mu_c * T) | (no_t & (N >= 0))
+      bottom = ((mu_c * N + T <= 0) & ~top) | (no_t & (N < 0))
+      middle = ~top & ~bottom
+
+      b = bottom.astype(dtype)
+      cost += jnp.dot(b, slot_quad[:, 0] + alpha * slot_quad[:, 1]
+                      + alpha * alpha * slot_quad[:, 2])
+      d0 += jnp.dot(b, slot_quad[:, 1] + 2 * alpha * slot_quad[:, 2])
+      d1 += 2 * jnp.dot(b, slot_quad[:, 2])
+
+      NmT = N - mu_c * T
+      N1 = V0
+      T1 = (UV + alpha * VV) / T
+      T2d = VV / T - (UV + alpha * VV) * T1 / (T * T)
+      mmid = middle.astype(dtype)
+      cost += jnp.dot(mmid, 0.5 * Dm * NmT * NmT)
+      d0 += jnp.dot(mmid, Dm * NmT * (N1 - mu_c * T1))
+      d1 += jnp.dot(
+          mmid,
+          Dm * ((N1 - mu_c * T1) ** 2 + NmT * (-mu_c * T2d)),
+      )
+
+    d1 = d1 + (d1 == 0) * _MINVAL
     return _LSPoint(alpha=alpha, cost=cost, d0=d0, d1=d1)
 
   smag = math.norm_safe(st.search) * m.stat_meaninertia * max(1, m.nv)
@@ -280,12 +322,12 @@ def solve(m: Model, d: Data) -> Data:
   def iterate(st: _State) -> _State:
     st = _linesearch(m, d, st)
     prev_grad, prev_mgrad, prev_cost = st.grad, st.mgrad, st.cost
-    force, ccost, quad = _forces_and_cost(d, st.jaref)
+    force, ccost, quad, cone_mid = _forces_and_cost(m, d, st.jaref)
     qfrc = d.efc_J.T @ force
     cost = ccost + _gauss_cost(d, st.qacc, st.Ma)
     st = st._replace(
         efc_force=force, qfrc_constraint=qfrc, quad_mask=quad,
-        cost=cost, prev_cost=prev_cost,
+        cone_middle=cone_mid, cost=cost, prev_cost=prev_cost,
     )
     st = _refresh_gradient(m, d, st)
     if m.opt.solver == SolverType.NEWTON:
@@ -322,4 +364,9 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     raise NotImplementedError(
         "PGS solver: use CG or NEWTON (the TPU-native primal solvers)"
     )
-  return solve(m, d)
+  d = solve(m, d)
+  if m.opt.noslip_iterations > 0:
+    from mujoco_inversedynamicstest_tpu.ops import noslip as noslip_mod
+
+    d = noslip_mod.noslip(m, d)
+  return d
