@@ -267,17 +267,18 @@ def validate_model(mjm) -> None:
           bad(f"frame sensor attached to objtype {ot} (camera frames)")
 
   for i in range(mjm.neq):
+    # DISTANCE was removed from the reference in MuJoCo 2.2.2 (its own
+    # reader throws, xml_native_reader.cc:2011) — n/a by design
     if mjm.eq_type[i] not in (int(EqType.CONNECT), int(EqType.WELD),
-                              int(EqType.JOINT)):
+                              int(EqType.JOINT), int(EqType.TENDON)):
       bad(f"equality constraint type {mujoco.mjtEq(mjm.eq_type[i]).name}")
 
   for i in range(mjm.nu):
     tt = mjm.actuator_trntype[i]
     if tt not in (int(TrnType.JOINT), int(TrnType.JOINTINPARENT),
-                  int(TrnType.TENDON), int(TrnType.SITE)):
+                  int(TrnType.TENDON), int(TrnType.SITE),
+                  int(TrnType.SLIDERCRANK), int(TrnType.BODY)):
       bad(f"actuator transmission {mujoco.mjtTrn(tt).name}")
-    if tt == int(TrnType.SITE) and mjm.actuator_trnid[i, 1] >= 0:
-      bad("site transmission with refsite")
     if mjm.actuator_dyntype[i] not in (
         int(DynType.NONE), int(DynType.INTEGRATOR), int(DynType.FILTER),
         int(DynType.FILTEREXACT), int(DynType.MUSCLE)):
@@ -401,6 +402,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       actuator_gainprm=_jx(mjm.actuator_gainprm, dtype),
       actuator_biasprm=_jx(mjm.actuator_biasprm, dtype),
       actuator_dynprm=_jx(mjm.actuator_dynprm, dtype),
+      actuator_cranklength=_jx(mjm.actuator_cranklength, dtype),
       actuator_length0=_jx(mjm.actuator_length0, dtype),
       actuator_lengthrange=_jx(mjm.actuator_lengthrange, dtype),
       actuator_acc0=_jx(mjm.actuator_acc0, dtype),

@@ -425,6 +425,7 @@ class Model:
   actuator_gainprm: jax.Array = None     # (nu, 10)
   actuator_biasprm: jax.Array = None     # (nu, 10)
   actuator_dynprm: jax.Array = None      # (nu, 10)
+  actuator_cranklength: jax.Array = None  # (nu,)
   actuator_length0: jax.Array = None     # (nu,)
   actuator_lengthrange: jax.Array = None  # (nu, 2)
   actuator_acc0: jax.Array = None        # (nu,)

@@ -55,6 +55,15 @@ _PAIR_SLOTS = {
     (GeomType.MESH, GeomType.MESH): 4,
 }
 
+# cylinder/ellipsoid pairs via SDF optimization (ops/collision_sdf.py)
+from mujoco_inversedynamicstest_tpu.ops.collision_sdf import (  # noqa: E402
+    SDF_NARROWPHASE as _SDF_NARROWPHASE,
+    SDF_SLOTS as _SDF_SLOTS,
+)
+
+_PAIR_SLOTS.update({(GeomType(a), GeomType(b)): v
+                    for (a, b), v in _SDF_SLOTS.items()})
+
 # pairs whose kernels need hull topology (grouped per distinct mesh pair)
 _CONVEX_KEYS = {
     (GeomType.PLANE, GeomType.MESH),
@@ -222,6 +231,22 @@ def ncon_rows(m: Model) -> int:
   return int(sum(
       1 if c == 1 else (c if elliptic else 2 * (c - 1)) for c in lay.dim
   ))
+
+
+def slot_margins(m: Model, lay: ContactLayout) -> jax.Array:
+  """Per-slot detection margin (pair override or max of geom margins)."""
+  # rebuild the per-slot ipair mapping from the groups
+  margins = []
+  for grp in lay.groups:
+    g1, g2 = grp.geom1, grp.geom2
+    mg = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    if np.any(grp.ipair >= 0):
+      ip = np.where(grp.ipair >= 0, grp.ipair, 0)
+      mg = jnp.where(jnp.asarray(grp.ipair >= 0), m.pair_margin[ip], mg)
+    margins.append(jnp.repeat(mg, grp.nslot))
+  if not margins:
+    return jnp.zeros(0, dtype=m.geom_margin.dtype)
+  return jnp.concatenate(margins)
 
 
 def make_frame(normal: jax.Array, yhint: jax.Array) -> jax.Array:
@@ -471,6 +496,9 @@ def _group_narrowphase(m: Model, grp: PairGroup) -> Callable:
   closures for convex keys (ops/collision_convex.py)."""
   if grp.types in _NARROWPHASE:
     return _NARROWPHASE[grp.types]
+  key_int = (int(grp.types[0]), int(grp.types[1]))
+  if key_int in _SDF_NARROWPHASE:
+    return _SDF_NARROWPHASE[key_int]
 
   from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
 

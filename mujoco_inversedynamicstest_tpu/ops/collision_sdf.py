@@ -1,0 +1,244 @@
+"""Cylinder/ellipsoid narrowphase via signed-distance optimization.
+
+The reference routes these pairs through libccd MPR / native GJK
+(``src/engine/engine_collision_convex.c``) — iterative CCD with
+data-dependent exits, which maps poorly onto XLA.  The TPU-native design
+follows the published MuJoCo SDF-collision formulation (also used by MJX's
+``collision_sdf.py``, the implementation to beat): the contact point
+minimizes the *clearance* function
+
+    phi(x) = f1(x) + f2(x) + |max(f1(x), f2(x))|
+
+whose minimizer lies on the mid-surface between the two shapes; then
+``dist = f1(x*) + f2(x*)`` and the normal is ``grad f1 - grad f2``.  The
+minimization is a fixed-budget gradient descent with a geometric-grid
+line search — fully branchless, vmappable, and exactly reproducible.
+
+Analytic fast paths are used where closed forms exist (sphere-cylinder,
+plane-ellipsoid), which is both faster and more accurate than descending.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_inversedynamicstest_tpu.ops import math
+
+_BIG = 1e10
+
+
+# --------------------------------------------------------------------------
+# local-frame signed distance functions
+# --------------------------------------------------------------------------
+
+
+def sdf_sphere(x, size):
+  return math.norm_safe(x) - size[0]
+
+
+def sdf_capsule(x, size):
+  z = jnp.clip(x[2], -size[1], size[1])
+  return math.norm_safe(x - jnp.array([0.0, 0.0, 1.0], x.dtype) * z) - size[0]
+
+
+def sdf_cylinder(x, size):
+  """Exact cylinder SDF (2-D rounded-box construction, safe norms)."""
+  a = jnp.stack([math.norm_safe(x[:2]) - size[0], jnp.abs(x[2]) - size[1]])
+  outside = jnp.maximum(a, 0.0)
+  return math.norm_safe(outside) + jnp.minimum(jnp.max(a), 0.0)
+
+
+def sdf_ellipsoid(x, size):
+  """First-order scaled-space approximation (exact on the surface)."""
+  k0 = math.norm_safe(x / size)
+  k1 = math.norm_safe(x / (size * size))
+  return k0 * (k0 - 1.0) / jnp.maximum(k1, math.MINVAL)
+
+
+_SDF = {
+    2: sdf_sphere,     # GeomType.SPHERE
+    3: sdf_capsule,    # GeomType.CAPSULE
+    4: sdf_ellipsoid,  # GeomType.ELLIPSOID
+    5: sdf_cylinder,   # GeomType.CYLINDER
+}
+
+
+# --------------------------------------------------------------------------
+# clearance optimization
+# --------------------------------------------------------------------------
+
+
+def _descend(phi, x0, niter: int = 12, n_ls: int = 12):
+  """Fixed-budget gradient descent with geometric line search."""
+  alphas = jnp.geomspace(1e-4, 2.0, n_ls).astype(x0.dtype)
+
+  def step(x, _):
+    g = jax.grad(phi)(x)
+    cands = x[None] - alphas[:, None] * g[None]
+    vals = jax.vmap(phi)(cands)
+    k = jnp.argmin(vals)
+    better = vals[k] < phi(x)
+    return jnp.where(better, cands[k], x), None
+
+  x, _ = jax.lax.scan(step, x0, None, length=niter)
+  return x
+
+
+def _sdf_pair_kernel(t1: int, t2: int, inits):
+  """Builds a narrowphase fn minimizing the clearance from each init.
+
+  ``inits(p1, m1, s1, p2, m2, s2) -> (k, 3)`` supplies the world-frame
+  starting points (k = slot count).
+  """
+  f1_local = _SDF[t1]
+  f2_local = _SDF[t2]
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    def f1(xw):
+      return f1_local(m1.T @ (xw - p1), s1)
+
+    def f2(xw):
+      return f2_local(m2.T @ (xw - p2), s2)
+
+    def phi(xw):
+      a, b = f1(xw), f2(xw)
+      return a + b + jnp.abs(jnp.maximum(a, b))
+
+    def one(x0):
+      x = _descend(phi, x0)
+      dist = f1(x) + f2(x)
+      n = jax.grad(f1)(x) - jax.grad(f2)(x)
+      n = math.normalize(n)
+      return jnp.where(dist <= margin, dist, _BIG), x, n
+
+    x0s = inits(p1, m1, s1, p2, m2, s2)
+    dist, pos, nrm = jax.vmap(one)(x0s)
+    z = jnp.zeros_like(pos)
+    return dist, pos, nrm, z
+
+  return fn
+
+
+def _mid_init(p1, m1, s1, p2, m2, s2):
+  return (0.5 * (p1 + p2))[None]
+
+
+def _closest_axis_points(p1, a1, h1, p2, a2, h2):
+  """Closest points between the two shapes' axis segments."""
+  d1, d2 = a1 * (2 * h1), a2 * (2 * h2)
+  q1, q2 = p1 - a1 * h1, p2 - a2 * h2
+  r = q1 - q2
+  a = jnp.dot(d1, d1)
+  e = jnp.dot(d2, d2)
+  b = jnp.dot(d1, d2)
+  c = jnp.dot(d1, r)
+  f = jnp.dot(d2, r)
+  den = a * e - b * b
+  t = jnp.clip((b * f - c * e) / jnp.where(jnp.abs(den) < 1e-12, 1.0, den),
+               0.0, 1.0)
+  t = jnp.where(jnp.abs(den) < 1e-12, 0.5, t)
+  s = jnp.clip((b * t + f) / jnp.maximum(e, 1e-12), 0.0, 1.0)
+  t = jnp.clip((b * s - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+  return q1 + t * d1, q2 + s * d2
+
+
+def _capsule_ends_init(p1, m1, s1, p2, m2, s2):
+  """Closest-axis midpoint + capsule endpoint offsets (3 starts -> 2
+  slots would drop one; keep 2: closest point and its mirror)."""
+  c1, c2 = _closest_axis_points(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
+  best = 0.5 * (c1 + c2)
+  mid = 0.5 * (p1 + p2)
+  vec = m1[:, 2] * s1[1]
+  # two starts: the axis-closest point, and the endpoint farther from it
+  # (captures lying-parallel double contacts)
+  alt1, alt2 = mid - vec, mid + vec
+  far = jnp.where(
+      math.norm_safe(alt1 - best) > math.norm_safe(alt2 - best), alt1, alt2)
+  return jnp.stack([best, far])
+
+
+def _cyl_cyl_init(p1, m1, s1, p2, m2, s2):
+  """Four starts: the axis-closest point + offsets along both axes."""
+  c1, c2 = _closest_axis_points(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
+  best = 0.5 * (c1 + c2)
+  mid = 0.5 * (p1 + p2)
+  v1 = m1[:, 2] * s1[1]
+  v2 = m2[:, 2] * s2[1]
+  del v2
+  return jnp.stack([best, mid - v1, mid + v1, mid])
+
+
+# --------------------------------------------------------------------------
+# analytic fast paths
+# --------------------------------------------------------------------------
+
+
+def plane_ellipsoid(p1, m1, s1, p2, m2, s2, margin):
+  """Support point of the ellipsoid along the plane normal (exact)."""
+  n = m1[:, 2]
+  n_l = m2.T @ n                       # normal in ellipsoid frame
+  sp_l = -(s2 * s2 * n_l) / jnp.maximum(
+      math.norm_safe(s2 * n_l), math.MINVAL)
+  sp = m2 @ sp_l + p2                  # deepest point on the ellipsoid
+  dist = jnp.dot(sp - p1, n)
+  pos = sp - 0.5 * dist * n
+  z = jnp.zeros(3, dtype=p1.dtype)
+  return (jnp.where(dist <= margin, dist, _BIG)[None], pos[None], n[None],
+          z[None])
+
+
+def sphere_cylinder(p1, m1, s1, p2, m2, s2, margin):
+  """Closest point on the cylinder to the sphere center (exact)."""
+  r_s = s1[0]
+  x = m2.T @ (p1 - p2)                 # sphere center in cylinder frame
+  rad = math.norm_safe(x[:2])
+  rdir = jnp.where(rad > math.MINVAL, x[:2] / rad,
+                   jnp.array([1.0, 0.0], x.dtype))
+
+  # outside closest point: clamp radius/height
+  q = jnp.concatenate([rdir * jnp.minimum(rad, s2[0]),
+                       jnp.clip(x[2:3], -s2[1], s2[1])])
+  inside = (rad <= s2[0]) & (jnp.abs(x[2]) <= s2[1])
+
+  # inside: project to the nearest of side wall / end cap
+  d_side = s2[0] - rad
+  d_cap = s2[1] - jnp.abs(x[2])
+  q_side = jnp.concatenate([rdir * s2[0], x[2:3]])
+  q_cap = jnp.concatenate([x[:2], jnp.sign(x[2:3]) * s2[1]])
+  q_in = jnp.where(d_side < d_cap, q_side, q_cap)
+  q = jnp.where(inside, q_in, q)
+
+  delta = x - q
+  dn = math.norm_safe(delta)
+  n_l = jnp.where(inside, -delta / dn, delta / dn)
+  dist = jnp.where(inside, -dn, dn) - r_s
+  nrm = -(m2 @ n_l)                    # 1 -> 2 direction
+  pos = 0.5 * ((p1 + nrm * r_s) + (m2 @ q + p2))
+  z = jnp.zeros(3, dtype=p1.dtype)
+  return (jnp.where(dist <= margin, dist, _BIG)[None], pos[None], nrm[None],
+          z[None])
+
+
+# GeomType values: SPHERE=2, CAPSULE=3, ELLIPSOID=4, CYLINDER=5
+SDF_NARROWPHASE = {
+    (0, 4): plane_ellipsoid,
+    (2, 4): _sdf_pair_kernel(2, 4, _mid_init),
+    (2, 5): sphere_cylinder,
+    (3, 4): _sdf_pair_kernel(3, 4, _mid_init),
+    (3, 5): _sdf_pair_kernel(3, 5, _capsule_ends_init),
+    (4, 4): _sdf_pair_kernel(4, 4, _mid_init),
+    (4, 5): _sdf_pair_kernel(4, 5, _mid_init),
+    (5, 5): _sdf_pair_kernel(5, 5, _cyl_cyl_init),
+}
+
+SDF_SLOTS = {
+    (0, 4): 1,
+    (2, 4): 1,
+    (2, 5): 1,
+    (3, 4): 1,
+    (3, 5): 2,
+    (4, 4): 1,
+    (4, 5): 1,
+    (5, 5): 4,
+}

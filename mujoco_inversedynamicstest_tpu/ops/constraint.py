@@ -90,8 +90,9 @@ def row_layout(m: Model) -> RowLayout:
         rows = _EQ_ROWS.get(EqType(m.eq_type[i]))
         if rows is None:
           raise NotImplementedError(f"equality type {m.eq_type[i]}")
-        if m.eq_type[i] in (EqType.TENDON, EqType.DISTANCE):
-          raise NotImplementedError("tendon/distance equality: pending")
+        if m.eq_type[i] == EqType.DISTANCE:
+          # removed from the reference in MuJoCo 2.2.2 (its reader throws)
+          raise NotImplementedError("distance equality (removed upstream)")
         types += [ConstraintType.EQUALITY] * rows
         ids += [i] * rows
         ne += rows
@@ -202,14 +203,27 @@ def _eq_rows(m: Model, d: Data, i: int):
         active,
     )
 
-  if etype == EqType.JOINT:
-    j1 = o1
-    p1 = d.qpos[m.jnt_qposadr[j1]]
-    r1 = m.qpos0[m.jnt_qposadr[j1]]
-    row = jnp.zeros((1, nv), dtype=dtype).at[0, m.jnt_dofadr[j1]].set(1.0)
+  if etype in (EqType.JOINT, EqType.TENDON):
+    # cubic coupling of two scalar positions (ref :640-718); joint uses
+    # qpos/qpos0 with a unit dof Jacobian, tendon uses
+    # ten_length/tendon_length0 with the tendon Jacobian
+    if etype == EqType.JOINT:
+      p1 = d.qpos[m.jnt_qposadr[o1]]
+      r1 = m.qpos0[m.jnt_qposadr[o1]]
+      row = jnp.zeros((1, nv), dtype=dtype).at[0, m.jnt_dofadr[o1]].set(1.0)
+    else:
+      p1 = d.ten_length[o1]
+      r1 = m.tendon_length0[o1]
+      row = d.ten_J[o1][None]
     if o2 >= 0:
-      p2 = d.qpos[m.jnt_qposadr[o2]]
-      r2 = m.qpos0[m.jnt_qposadr[o2]]
+      if etype == EqType.JOINT:
+        p2 = d.qpos[m.jnt_qposadr[o2]]
+        r2 = m.qpos0[m.jnt_qposadr[o2]]
+        j2 = jnp.zeros((1, nv), dtype=dtype).at[0, m.jnt_dofadr[o2]].set(1.0)
+      else:
+        p2 = d.ten_length[o2]
+        r2 = m.tendon_length0[o2]
+        j2 = d.ten_J[o2][None]
       dif = p2 - r2
       powers = jnp.stack([jnp.ones_like(dif), dif, dif**2, dif**3, dif**4])
       cpos = p1 - r1 - jnp.dot(data[0:5], powers)
@@ -217,7 +231,7 @@ def _eq_rows(m: Model, d: Data, i: int):
           data[1] + 2 * data[2] * dif + 3 * data[3] * dif**2
           + 4 * data[4] * dif**3
       )
-      row = row.at[0, m.jnt_dofadr[o2]].add(-deriv)
+      row = row - deriv * j2
     else:
       cpos = p1 - r1 - data[0]
     return row, cpos[None], active
@@ -244,6 +258,11 @@ def _eq_diag_approx(m: Model, i: int) -> jax.Array:
     da = m.dof_invweight0[m.jnt_dofadr[o1]]
     if o2 >= 0:
       da = da + m.dof_invweight0[m.jnt_dofadr[o2]]
+    return da[None]
+  if etype == EqType.TENDON:
+    da = m.tendon_invweight0[o1]
+    if o2 >= 0:
+      da = da + m.tendon_invweight0[o2]
     return da[None]
   raise NotImplementedError(f"equality type {etype}")
 

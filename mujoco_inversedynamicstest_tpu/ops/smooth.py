@@ -608,29 +608,159 @@ def transmission(m: Model, d: Data) -> Data:
     moment = moment.at[sel].set(g0[:, None] * d.ten_J[tid])
 
   # --- site transmission: wrench gear applied at the site frame
-  # (reference mjTRN_SITE without refsite: length = 0, moment = gear·J_site)
+  # (reference mjTRN_SITE, engine_core_smooth.c:1084: without refsite
+  # length = 0, moment = gear·J_site; with refsite length/moment are the
+  # site pose relative to the reference site, common-ancestor dof columns
+  # cleared)
   sel = np.nonzero(trntype == TrnType.SITE)[0]
   if sel.size:
     from mujoco_inversedynamicstest_tpu.ops import support
+
     for i in sel:
       sid = trnid[i]
+      refid = int(m.actuator_trnid[i, 1])
       bid = int(m.site_bodyid[sid])
       jacp, jacr = support.jac(m, d, d.site_xpos[sid], bid)
-      smat = d.site_xmat[sid]
-      gear_t = smat @ m.actuator_gear[i, 0:3]
-      gear_r = smat @ m.actuator_gear[i, 3:6]
-      moment = moment.at[i].set(jacp @ gear_t + jacr @ gear_r)
 
-  unsupported = np.nonzero(
-      ~joint_like & ~np.isin(trntype, (TrnType.TENDON, TrnType.SITE))
-  )[0]
-  if unsupported.size:
-    raise NotImplementedError(
-        f"actuator transmission types {set(trntype[unsupported])} not yet "
-        "supported"
-    )
+      if refid < 0:
+        smat = d.site_xmat[sid]
+        gear_t = smat @ m.actuator_gear[i, 0:3]
+        gear_r = smat @ m.actuator_gear[i, 3:6]
+        moment = moment.at[i].set(jacp @ gear_t + jacr @ gear_r)
+        continue
+
+      rbid = int(m.site_bodyid[refid])
+      jacp_r, jacr_r = support.jac(m, d, d.site_xpos[refid], rbid)
+      rmat = d.site_xmat[refid]
+
+      # static: common ancestral dof chain of the two (weld) bodies
+      ancestor_dofs = _common_ancestor_dofs(m, bid, rbid)
+      col_mask = np.ones(m.nv)
+      col_mask[ancestor_dofs] = 0.0
+      cmask = jnp.asarray(col_mask, dtype=jacp.dtype)[:, None]
+
+      li = jnp.zeros((), dtype=jacp.dtype)
+      mi = jnp.zeros(m.nv, dtype=jacp.dtype)
+
+      # zero gear components contribute exactly zero, so both the
+      # translational and rotational terms run unconditionally
+      gear_t = m.actuator_gear[i, 0:3]
+      vec = rmat.T @ (d.site_xpos[sid] - d.site_xpos[refid])
+      li = li + vec @ gear_t
+      wrench_t = rmat @ gear_t
+      mi = mi + ((jacp - jacp_r) * cmask) @ wrench_t
+
+      gear_r = m.actuator_gear[i, 3:6]
+      quat = math.quat_mul(m.site_quat[sid], d.xquat[bid])
+      refquat = math.quat_mul(m.site_quat[refid], d.xquat[rbid])
+      vec_r = math.quat_sub(quat, refquat)
+      li = li + vec_r @ gear_r
+      wrench_r = rmat @ gear_r
+      mi = mi + ((jacr - jacr_r) * cmask) @ wrench_r
+
+      length = length.at[i].set(li)
+      moment = moment.at[i].set(mi)
+
+  # --- slider-crank transmission (reference mjTRN_SLIDERCRANK:988)
+  sel = np.nonzero(trntype == TrnType.SLIDERCRANK)[0]
+  if sel.size:
+    from mujoco_inversedynamicstest_tpu.ops import support
+
+    for i in sel:
+      sid = trnid[i]                     # crank site
+      slid = int(m.actuator_trnid[i, 1])  # slider site
+      rod = m.actuator_cranklength[i]
+      axis = d.site_xmat[slid][:, 2]
+      vec = d.site_xpos[sid] - d.site_xpos[slid]
+
+      av = vec @ axis
+      det = av * av + rod * rod - vec @ vec
+      ok = det > 0
+      sdet = jnp.sqrt(jnp.maximum(det, math.MINVAL))
+      li = av - jnp.where(ok, sdet, 0.0)
+
+      one_m = 1.0 - av / sdet
+      dldv = jnp.where(ok, axis * one_m + vec / sdet, axis)
+      dlda = jnp.where(ok, vec * one_m, vec)
+
+      jacp_c, _ = support.jac(m, d, d.site_xpos[sid], int(m.site_bodyid[sid]))
+      jacp_s, jacr_s = support.jac(
+          m, d, d.site_xpos[slid], int(m.site_bodyid[slid]))
+      jac_axis = jnp.cross(jacr_s, axis[None, :])       # (nv, 3)
+      jac_vec = jacp_c - jacp_s
+
+      g0 = m.actuator_gear[i, 0]
+      length = length.at[i].set(li * g0)
+      moment = moment.at[i].set((jac_axis @ dlda + jac_vec @ dldv) * g0)
+
+  # --- body transmission (adhesion; reference mjTRN_BODY:1229): moment is
+  # minus the average normal-direction Jacobian over the body's contacts
+  # detected within margin
+  sel = np.nonzero(trntype == TrnType.BODY)[0]
+  if sel.size:
+    from mujoco_inversedynamicstest_tpu.ops import collision as coll_mod
+
+    clay = coll_mod.contact_layout(m)
+    if clay.ncon:
+      con = d.contact
+      margins = coll_mod.slot_margins(m, clay)
+      counted = con.dist < margins
+      b1 = m.geom_bodyid[clay.geom1]
+      b2 = m.geom_bodyid[clay.geom2]
+
+      # normal-direction Jacobian per slot (the average of pyramid rows
+      # equals J_normal exactly; elliptic row0 is J_normal)
+      com = d.subtree_com[m.body_rootid]
+      n_dir = con.frame[:, 0]
+      bmask = jnp.asarray(m.tree.body_dof_mask)
+
+      def side(bids):
+        off = con.pos - com[bids]
+        u = jnp.concatenate([jnp.cross(off, n_dir), n_dir], axis=1)
+        return u @ d.cdof.T              # (ncon, nv)
+
+      jn = jnp.where(bmask[b2], side(b2), 0.0) - jnp.where(
+          bmask[b1], side(b1), 0.0)
+
+      for i in sel:
+        bid = int(m.actuator_trnid[i, 0])
+        relevant = np.asarray((b1 == bid) | (b2 == bid))
+        cmask = (counted & jnp.asarray(relevant)).astype(jn.dtype)
+        counter = jnp.sum(cmask)
+        mom = -(cmask @ jn) / jnp.maximum(1.0, counter)
+        mom = jnp.where(counter > 0, mom, 0.0)
+        moment = moment.at[i].set(mom)
 
   return d.replace(actuator_length=length, actuator_moment=moment)
+
+
+def _common_ancestor_dofs(m: Model, b0: int, b1: int) -> np.ndarray:
+  """Dofs of the common ancestral chain of two bodies (static).
+
+  Mirrors the refsite common-dof search in ``mj_transmission``
+  (engine_core_smooth.c:1109-1137): walk the dof tree up from each body's
+  last dof until the chains meet; the meeting dof and all its ancestors
+  are cleared from the difference Jacobian.
+  """
+  w0 = int(m.body_weldid[b0])
+  w1 = int(m.body_weldid[b1])
+  d0 = int(m.body_dofadr[w0] + m.body_dofnum[w0] - 1)
+  d1 = int(m.body_dofadr[w1] + m.body_dofnum[w1] - 1)
+  if d0 < 0 or d1 < 0 or m.body_dofnum[w0] == 0 or m.body_dofnum[w1] == 0:
+    return np.zeros(0, np.int32)
+  while d0 != d1:
+    if d0 < d1:
+      d1 = int(m.dof_parentid[d1])
+    else:
+      d0 = int(m.dof_parentid[d0])
+    if d0 == -1 or d1 == -1:
+      return np.zeros(0, np.int32)
+  chain = []
+  da = d0
+  while da >= 0:
+    chain.append(da)
+    da = int(m.dof_parentid[da])
+  return np.array(chain, np.int32)
 
 
 def subtree_vel(m: Model, d: Data):
