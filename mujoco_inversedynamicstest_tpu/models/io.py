@@ -218,6 +218,8 @@ _SUPPORTED_SENSORS = frozenset({
     SensorType.ACCELEROMETER, SensorType.FORCE, SensorType.TORQUE,
     SensorType.FRAMELINACC, SensorType.FRAMEANGACC,
     SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITFRC,
+    SensorType.TOUCH, SensorType.RANGEFINDER, SensorType.CAMPROJECTION,
+    SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
 })
 
 
@@ -394,7 +396,21 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       geom_priority=_np(mjm.geom_priority),
       site_pos=_jx(mjm.site_pos, dtype),
       site_quat=_jx(mjm.site_quat, dtype),
+      site_size=_jx(mjm.site_size, dtype),
       site_bodyid=_np(mjm.site_bodyid),
+      site_type=_np(mjm.site_type),
+      cam_pos=_jx(mjm.cam_pos, dtype),
+      cam_quat=_jx(mjm.cam_quat, dtype),
+      cam_mat0=_jx(mjm.cam_mat0, dtype).reshape(-1, 3, 3),
+      cam_pos0=_jx(mjm.cam_pos0, dtype),
+      cam_poscom0=_jx(mjm.cam_poscom0, dtype),
+      cam_fovy=_jx(mjm.cam_fovy, dtype),
+      cam_intrinsic=_jx(mjm.cam_intrinsic, dtype),
+      cam_sensorsize=_jx(mjm.cam_sensorsize, dtype),
+      cam_bodyid=_np(mjm.cam_bodyid),
+      cam_targetbodyid=_np(mjm.cam_targetbodyid),
+      cam_mode=_np(mjm.cam_mode),
+      cam_resolution=_np(mjm.cam_resolution),
       actuator_gear=_jx(mjm.actuator_gear, dtype),
       actuator_ctrlrange=_jx(mjm.actuator_ctrlrange, dtype),
       actuator_forcerange=_jx(mjm.actuator_forcerange, dtype),
@@ -543,6 +559,8 @@ def make_data(m: Model, dtype=None) -> Data:
       geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ngeom, 1, 1)),
       site_xpos=z(m.nsite, 3),
       site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nsite, 1, 1)),
+      cam_xpos=z(m.ncam, 3),
+      cam_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ncam, 1, 1)),
       subtree_com=z(nbody, 3),
       cinert=z(nbody, 10),
       cdof=z(nv, 6),

@@ -146,6 +146,7 @@ class SensorType(enum.IntEnum):
   TORQUE = 5
   MAGNETOMETER = 6
   RANGEFINDER = 7
+  CAMPROJECTION = 8
   JOINTPOS = 9
   JOINTVEL = 10
   TENDONPOS = 11
@@ -174,6 +175,9 @@ class SensorType(enum.IntEnum):
   SUBTREECOM = 35
   SUBTREELINVEL = 36
   SUBTREEANGMOM = 37
+  GEOMDIST = 39
+  GEOMNORMAL = 40
+  GEOMFROMTO = 41
   E_POTENTIAL = 43
   E_KINETIC = 44
   CLOCK = 45
@@ -415,7 +419,23 @@ class Model:
   # ------- sites -------
   site_pos: jax.Array = None          # (nsite, 3)
   site_quat: jax.Array = None         # (nsite, 4)
+  site_size: jax.Array = None         # (nsite, 3)
   site_bodyid: np.ndarray = static_field(default=None)
+  site_type: np.ndarray = static_field(default=None)
+
+  # ------- cameras (mj_camlight + camera-projection sensor) -------
+  cam_pos: jax.Array = None           # (ncam, 3)
+  cam_quat: jax.Array = None          # (ncam, 4)
+  cam_mat0: jax.Array = None          # (ncam, 3, 3)
+  cam_pos0: jax.Array = None          # (ncam, 3)
+  cam_poscom0: jax.Array = None       # (ncam, 3)
+  cam_fovy: jax.Array = None          # (ncam,)
+  cam_intrinsic: jax.Array = None     # (ncam, 4)
+  cam_sensorsize: jax.Array = None    # (ncam, 2)
+  cam_bodyid: np.ndarray = static_field(default=None)
+  cam_targetbodyid: np.ndarray = static_field(default=None)
+  cam_mode: np.ndarray = static_field(default=None)
+  cam_resolution: np.ndarray = static_field(default=None)
 
   # ------- actuators -------
   actuator_gear: jax.Array = None        # (nu, 6)
@@ -578,6 +598,8 @@ class Data:
   geom_xmat: jax.Array = None     # (ngeom, 3, 3)
   site_xpos: jax.Array = None     # (nsite, 3)
   site_xmat: jax.Array = None     # (nsite, 3, 3)
+  cam_xpos: jax.Array = None      # (ncam, 3)
+  cam_xmat: jax.Array = None      # (ncam, 3, 3)
   subtree_com: jax.Array = None   # (nbody, 3)
   cinert: jax.Array = None        # (nbody, 10)
   cdof: jax.Array = None          # (nv, 6)

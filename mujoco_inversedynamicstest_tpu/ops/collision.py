@@ -233,6 +233,44 @@ def ncon_rows(m: Model) -> int:
   ))
 
 
+def geom_distance(m: Model, d: Data, g1: int, g2: int, distmax):
+  """Smallest distance between two geoms + the connecting segment.
+
+  Analog of ``mj_geomDistance`` (ref ``engine_support.c:1407``): runs the
+  pair's narrowphase with margin = distmax; returns (dist, fromto(6,)).
+  """
+  dtype = d.qpos.dtype
+  flip = int(m.geom_type[g1]) > int(m.geom_type[g2])
+  a, b = (g2, g1) if flip else (g1, g2)
+  key = (GeomType(int(m.geom_type[a])), GeomType(int(m.geom_type[b])))
+  if key not in _PAIR_SLOTS:
+    return (jnp.asarray(distmax, dtype),
+            jnp.zeros(6, dtype))
+
+  did = lambda g: (int(m.geom_dataid[g])
+                   if m.geom_type[g] == GeomType.MESH else -1)
+  grp = PairGroup(
+      types=key, geom1=np.array([a], np.int32), geom2=np.array([b], np.int32),
+      ipair=np.array([-1], np.int32), nslot=_PAIR_SLOTS[key],
+      did1=did(a), did2=did(b),
+  )
+  fn = _group_narrowphase(m, grp)
+  dist, pos, nrm, _ = fn(
+      d.geom_xpos[a], d.geom_xmat[a], m.geom_size[a],
+      d.geom_xpos[b], d.geom_xmat[b], m.geom_size[b],
+      jnp.asarray(distmax, dtype),
+  )
+  k = jnp.argmin(dist)
+  dmin = dist[k]
+  found = dmin < distmax
+  # normal points geom1 -> geom2 (flip back if we swapped)
+  n = nrm[k] * (-1.0 if flip else 1.0)
+  fromto = jnp.concatenate([
+      pos[k] - n * (dmin * 0.5), pos[k] + n * (dmin * 0.5)])
+  return (jnp.where(found, dmin, distmax),
+          jnp.where(found, fromto, jnp.zeros(6, dtype)))
+
+
 def slot_margins(m: Model, lay: ContactLayout) -> jax.Array:
   """Per-slot detection margin (pair override or max of geom margins)."""
   # rebuild the per-slot ipair mapping from the groups

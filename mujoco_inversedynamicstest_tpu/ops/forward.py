@@ -37,7 +37,7 @@ def fwd_position(m: Model, d: Data) -> Data:
   """Position-dependent computations (ref ``mj_fwdPosition``:133)."""
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
-  # camlight: no-op until camera support
+  d = smooth.camlight(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   d = smooth.factor_m(m, d)

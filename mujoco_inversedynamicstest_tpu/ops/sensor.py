@@ -6,9 +6,11 @@ Stage entry points mirror ``mj_sensorPos``:222 / ``mj_sensorVel``:527 /
 unrolled loop (types/ids/addresses are compile-time model data); cutoff
 post-processing follows ``apply_cutoff`` (ref :40).
 
-Not yet supported (raise at trace time): rangefinder/camera-projection
-(pending ray module), touch (pending site-zone ray tests), geomdist,
-plugin/user sensors.
+Covered: the full pos/vel/acc scalar + frame + subtree set, touch
+(site-zone ray binning, ref :750), rangefinder (ref :266), camera
+projection (ref :126), and geomdist/geomnormal/geomfromto via the
+narrowphase-backed ``mj_geomDistance`` analog (ref :378).  Plugin/user
+sensors are rejected at put_model.
 """
 
 from __future__ import annotations
@@ -108,6 +110,8 @@ def _apply_cutoff(m: Model, sensordata: jax.Array, stage: int) -> jax.Array:
   for i in range(m.nsensor):
     if m.sensor_needstage[i] != stage:
       continue
+    if m.sensor_type[i] == SensorType.GEOMFROMTO:
+      continue  # ref apply_cutoff skips fromto segments (sensor.c:45)
     adr, dim = int(m.sensor_adr[i]), int(m.sensor_dim[i])
     cutoff = m.sensor_cutoff[i]
     seg = jax.lax.dynamic_slice(sensordata, (adr,), (dim,))
@@ -188,10 +192,73 @@ def sensor_pos(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, energy_vel(m, d))
     elif t == S.CLOCK:
       sd = _write(sd, adr, d.time)
+    elif t == S.RANGEFINDER:
+      from mujoco_inversedynamicstest_tpu.ops import ray as ray_mod
+
+      dist, _ = ray_mod.ray(
+          m, d, d.site_xpos[objid], d.site_xmat[objid][:, 2],
+          bodyexclude=int(m.site_bodyid[objid]))
+      sd = _write(sd, adr, dist)
+    elif t == S.CAMPROJECTION:
+      sd = _write(sd, adr, _cam_project(m, d, objid, refid))
+    elif t in (S.GEOMDIST, S.GEOMNORMAL, S.GEOMFROMTO):
+      dist, fromto = _geom_pair_distance(
+          m, d, objtype, objid, reftype, refid, m.sensor_cutoff[i])
+      if t == S.GEOMDIST:
+        sd = _write(sd, adr, dist)
+      elif t == S.GEOMNORMAL:
+        n = fromto[3:] - fromto[:3]
+        nn = math.norm_safe(n)
+        sd = _write(sd, adr, jnp.where(nn > 1e-15, n / nn, n * 0.0))
+      else:
+        sd = _write(sd, adr, fromto)
     else:
       raise NotImplementedError(f"POS sensor {t.name}")
 
   return d.replace(sensordata=_apply_cutoff(m, sd, _STAGE_POS))
+
+
+def _cam_project(m: Model, d: Data, objid: int, refid: int):
+  """Pixel coordinates of a site in a camera image (ref ``cam_project``,
+  sensor.c:126)."""
+  target = d.site_xpos[objid]
+  xc = d.cam_xmat[refid].T @ (target - d.cam_xpos[refid])
+  res = m.cam_resolution[refid]
+  ss = m.cam_sensorsize[refid]
+  has_intrinsic = jnp.all(ss != 0)
+  fx_i = m.cam_intrinsic[refid, 0] / jnp.where(ss[0] == 0, 1.0, ss[0]) * res[0]
+  fy_i = m.cam_intrinsic[refid, 1] / jnp.where(ss[1] == 0, 1.0, ss[1]) * res[1]
+  f_fov = 0.5 / jnp.tan(m.cam_fovy[refid] * jnp.pi / 360.0) * res[1]
+  fx = jnp.where(has_intrinsic, fx_i, f_fov)
+  fy = jnp.where(has_intrinsic, fy_i, f_fov)
+  z = xc[2]
+  u = -fx * xc[0] / z + res[0] / 2.0
+  v = fy * xc[1] / z + res[1] / 2.0
+  return jnp.stack([u, v])
+
+
+def _geom_pair_distance(m: Model, d: Data, objtype, objid, reftype, refid,
+                        cutoff):
+  """min distance over the (body|geom) x (body|geom) geom set (ref
+  ``mjSENS_GEOMDIST`` branch, sensor.c:378)."""
+  from mujoco_inversedynamicstest_tpu.ops import collision as coll_mod
+
+  def geom_set(t, i):
+    if ObjType(t) == ObjType.BODY:
+      return list(range(int(m.body_geomadr[i]),
+                        int(m.body_geomadr[i]) + int(m.body_geomnum[i])))
+    return [int(i)]
+
+  dtype = d.qpos.dtype
+  dist = jnp.asarray(cutoff, dtype)
+  fromto = jnp.zeros(6, dtype)
+  for g1 in geom_set(objtype, objid):
+    for g2 in geom_set(reftype, refid):
+      dn, ft = coll_mod.geom_distance(m, d, g1, g2, cutoff)
+      closer = dn < dist
+      fromto = jnp.where(closer, ft, fromto)
+      dist = jnp.where(closer, dn, dist)
+  return dist, fromto
 
 
 def _limit_row(m: Model, d: Data, t, objid: int, what: str):
@@ -330,10 +397,51 @@ def sensor_acc(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, a[3:] if t == S.FRAMELINACC else a[:3])
     elif t in (S.JOINTLIMITFRC, S.TENDONLIMITFRC):
       sd = _write(sd, adr, _limit_row(m, d, t, objid, "force"))
+    elif t == S.TOUCH:
+      sd = _write(sd, adr, _touch(m, d, objid))
     else:
       raise NotImplementedError(f"ACC sensor {t.name}")
 
   return d.replace(sensordata=_apply_cutoff(m, sd, _STAGE_ACC))
+
+
+def _touch(m: Model, d: Data, siteid: int):
+  """Sum of contact normal forces whose force ray pierces the site zone
+  (ref ``mjSENS_TOUCH``, sensor.c:750)."""
+  from mujoco_inversedynamicstest_tpu.ops import collision as coll_mod
+  from mujoco_inversedynamicstest_tpu.ops import constraint as con_mod
+  from mujoco_inversedynamicstest_tpu.ops import ray as ray_mod
+
+  dtype = d.qpos.dtype
+  clay = coll_mod.contact_layout(m)
+  if clay.ncon == 0:
+    return jnp.zeros((), dtype)
+  con = d.contact
+  bodyid = int(m.site_bodyid[siteid])
+  b1 = m.geom_bodyid[clay.geom1]
+  b2 = m.geom_bodyid[clay.geom2]
+  relevant = (b1 == bodyid) | (b2 == bodyid)
+  if not np.any(relevant):
+    return jnp.zeros((), dtype)
+
+  forces = con_mod.contact_forces_frame(m, d)
+  f0 = forces[:, 0]
+  # force ray direction: contact normal, flipped when the sensor body is
+  # the contact's second body
+  sign = jnp.asarray(np.where(b2 == bodyid, -1.0, 1.0), dtype)
+  dirs = con.frame[:, 0] * sign[:, None]
+
+  stype = int(m.site_type[siteid])
+  hit = jax.vmap(
+      lambda p, v: ray_mod.ray_geom(
+          d.site_xpos[siteid], d.site_xmat[siteid], m.site_size[siteid],
+          p, v, stype)
+  )(con.pos, dirs)
+
+  active = con.dist < con.includemargin
+  include = (jnp.asarray(relevant) & active & (f0 > 0)
+             & jnp.isfinite(hit))
+  return jnp.sum(jnp.where(include, f0, 0.0))
 
 
 def energy_pos(m: Model, d: Data) -> jax.Array:

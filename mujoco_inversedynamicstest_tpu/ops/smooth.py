@@ -202,6 +202,38 @@ def _tree_sum_up(m: Model, x: jax.Array) -> jax.Array:
   return x
 
 
+def camlight(m: Model, d: Data) -> Data:
+  """Camera poses per camera mode (analog ``mj_camlight``, ref
+  ``engine_core_smooth.c:275``).  Lights are a rendering concern and are
+  delegated to the host viewer (models/interop.py)."""
+  if m.ncam == 0:
+    return d
+  dtype = d.qpos.dtype
+  xpos_list, xmat_list = [], []
+  up = jnp.asarray([0.0, 0.0, 1.0], dtype)
+  for i in range(m.ncam):
+    b = int(m.cam_bodyid[i])
+    mode = int(m.cam_mode[i])
+    tgt = int(m.cam_targetbodyid[i])
+    pos = d.xpos[b] + d.xmat[b] @ m.cam_pos[i]
+    mat = d.xmat[b] @ math.quat_to_mat(m.cam_quat[i])
+    if mode in (1, 2):        # TRACK / TRACKCOM: fixed world orientation
+      mat = m.cam_mat0[i]
+      pos = jnp.where(
+          mode == 1, d.xpos[b] + m.cam_pos0[i],
+          d.subtree_com[b] + m.cam_poscom0[i])
+    elif mode in (3, 4) and tgt >= 0:   # TARGETBODY(COM): look at target
+      look = d.xpos[tgt] if mode == 3 else d.subtree_com[tgt]
+      z = math.normalize(pos - look)    # -view direction
+      x = math.normalize(jnp.cross(up, z))
+      y = math.normalize(jnp.cross(z, x))
+      mat = jnp.stack([x, y, z], axis=1)
+    xpos_list.append(pos)
+    xmat_list.append(mat)
+  return d.replace(
+      cam_xpos=jnp.stack(xpos_list), cam_xmat=jnp.stack(xmat_list))
+
+
 def com_pos(m: Model, d: Data) -> Data:
   """Subtree CoM, CoM-frame inertias, and CoM-frame dof axes.
 
