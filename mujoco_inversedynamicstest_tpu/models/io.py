@@ -294,10 +294,6 @@ def validate_model(mjm) -> None:
       bad(f"actuator biastype "
           f"{mujoco.mjtBias(mjm.actuator_biastype[i]).name}")
 
-  # ellipsoid fluid model: geom_fluid becomes nonzero only for
-  # fluidshape="ellipsoid" (ref engine_passive.c:588 mj_ellipsoidFluidModel)
-  if np.any(_np(mjm.geom_fluid) != 0):
-    bad("ellipsoid fluid model (geom fluidshape='ellipsoid')")
 
 
 def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
@@ -385,6 +381,8 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       geom_solimp=_jx(mjm.geom_solimp, dtype),
       geom_solmix=_jx(mjm.geom_solmix, dtype),
       geom_rbound=_jx(mjm.geom_rbound, dtype),
+      geom_fluid=_jx(mjm.geom_fluid, dtype),
+      geom_fluid_active=_np(mjm.geom_fluid)[:, 0] > 0,
       geom_type=_np(mjm.geom_type),
       geom_dataid=_np(mjm.geom_dataid),
       geom_bodyid=_np(mjm.geom_bodyid),

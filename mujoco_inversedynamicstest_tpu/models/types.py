@@ -406,6 +406,9 @@ class Model:
   geom_solimp: jax.Array = None       # (ngeom, 5)
   geom_solmix: jax.Array = None       # (ngeom,)
   geom_rbound: jax.Array = None       # (ngeom,)
+  geom_fluid: jax.Array = None        # (ngeom, 12) ellipsoid-fluid coefs
+  # static: geoms using the ellipsoid fluid model (geom_fluid[:,0] > 0)
+  geom_fluid_active: np.ndarray = static_field(default=None)
   geom_type: np.ndarray = static_field(default=None)
   geom_dataid: np.ndarray = static_field(default=None)  # mesh id or -1
   geom_bodyid: np.ndarray = static_field(default=None)

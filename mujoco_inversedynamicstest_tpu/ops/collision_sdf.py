@@ -56,11 +56,19 @@ def sdf_ellipsoid(x, size):
   return k0 * (k0 - 1.0) / jnp.maximum(k1, math.MINVAL)
 
 
+def sdf_box(x, size):
+  """Exact box SDF."""
+  q = jnp.abs(x) - size
+  outside = jnp.maximum(q, 0.0)
+  return math.norm_safe(outside) + jnp.minimum(jnp.max(q), 0.0)
+
+
 _SDF = {
     2: sdf_sphere,     # GeomType.SPHERE
     3: sdf_capsule,    # GeomType.CAPSULE
     4: sdf_ellipsoid,  # GeomType.ELLIPSOID
     5: sdf_cylinder,   # GeomType.CYLINDER
+    6: sdf_box,        # GeomType.BOX
 }
 
 
@@ -220,7 +228,26 @@ def sphere_cylinder(p1, m1, s1, p2, m2, s2, margin):
           z[None])
 
 
-# GeomType values: SPHERE=2, CAPSULE=3, ELLIPSOID=4, CYLINDER=5
+def _cyl_box_init(p1, m1, s1, p2, m2, s2):
+  """Cylinder vs box: starts on the cylinder's near-surface line (body-
+  center midpoints can fall deep inside the box and descend to the wrong
+  surface pairing)."""
+  axis = m1[:, 2]
+  h, r = s1[1], s1[0]
+  t = jnp.clip(jnp.dot(p2 - p1, axis), -h, h)
+  c = p1 + axis * t
+  radial = p2 - c
+  radial = radial - axis * jnp.dot(radial, axis)
+  radial = radial / jnp.maximum(math.norm_safe(radial), math.MINVAL)
+  sp = c + radial * r
+  e1 = p1 - axis * h + radial * r
+  e2 = p1 + axis * h + radial * r
+  return jnp.stack([sp, e1, e2, 0.5 * (e1 + e2)])
+
+
+# GeomType values: PLANE=0, SPHERE=2, CAPSULE=3, ELLIPSOID=4, CYLINDER=5,
+# BOX=6.  (cylinder-box and ellipsoid-box pairs exceed the MJX capability
+# table — the reference routes them through libccd MPR.)
 SDF_NARROWPHASE = {
     (0, 4): plane_ellipsoid,
     (2, 4): _sdf_pair_kernel(2, 4, _mid_init),
@@ -229,7 +256,9 @@ SDF_NARROWPHASE = {
     (3, 5): _sdf_pair_kernel(3, 5, _capsule_ends_init),
     (4, 4): _sdf_pair_kernel(4, 4, _mid_init),
     (4, 5): _sdf_pair_kernel(4, 5, _mid_init),
+    (4, 6): _sdf_pair_kernel(4, 6, _mid_init),
     (5, 5): _sdf_pair_kernel(5, 5, _cyl_cyl_init),
+    (5, 6): _sdf_pair_kernel(5, 6, _cyl_box_init),
 }
 
 SDF_SLOTS = {
@@ -240,5 +269,7 @@ SDF_SLOTS = {
     (3, 5): 2,
     (4, 4): 1,
     (4, 5): 1,
+    (4, 6): 1,
     (5, 5): 4,
+    (5, 6): 4,
 }

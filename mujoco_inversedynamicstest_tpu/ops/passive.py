@@ -64,6 +64,124 @@ def _spring(m: Model, d: Data) -> jax.Array:
   return qfrc
 
 
+def _geom_semiaxes(m: Model) -> jax.Array:
+  """Equivalent ellipsoid semi-axes per geom (ref ``mju_geomSemiAxes``).
+
+  Geom types are static; sizes stay traced leaves (branchless selects)."""
+  size = m.geom_size
+  t = m.geom_type
+  rnd = jnp.asarray((t == 2) | (t == 3) | (t == 5))  # sphere/capsule/cyl
+  s1 = jnp.where(rnd, size[:, 0], size[:, 1])
+  s2 = jnp.where(jnp.asarray(t == 2), size[:, 0],
+                 jnp.where(jnp.asarray(t == 3), size[:, 0] + size[:, 1],
+                           size[:, 2]))
+  s2 = jnp.where(jnp.asarray(t == 5), size[:, 1], s2)
+  return jnp.stack([size[:, 0], s1, s2], axis=1)
+
+
+def ellipsoid_fluid(m: Model, d: Data, geoms: np.ndarray) -> jax.Array:
+  """Ellipsoid-model fluid forces for the given geoms (vectorized).
+
+  Analog of ``mj_ellipsoidFluidModel``/``mj_addedMassForces``/
+  ``mj_viscousForces`` (reference ``engine_passive.c:588-790``): added-mass
+  coupling, Magnus and Kutta lift, blunt/slender/angular drag, and Stokes
+  viscosity on the equivalent ellipsoid, per geom, applied at geom centers.
+  """
+  dtype = d.qpos.dtype
+  g = geoms
+  bodies = m.geom_bodyid[g]
+  size = jnp.asarray(_geom_semiaxes(m), dtype)[g]      # (ng, 3)
+  coefs = m.geom_fluid[g]                              # (ng, 12)
+  (interact, c_blunt, c_slender, c_ang, c_kutta, c_magnus) = (
+      coefs[:, 0], coefs[:, 1], coefs[:, 2], coefs[:, 3], coefs[:, 4],
+      coefs[:, 5])
+  v_mass = coefs[:, 6:9]
+  v_inert = coefs[:, 9:12]
+  rho = m.opt.density
+  visc = m.opt.viscosity
+
+  # 6D geom-frame velocity at the geom center, wind subtracted
+  offset = d.geom_xpos[g] - d.subtree_com[m.body_rootid[bodies]]
+  vel = jax.vmap(math.transform_motion)(d.cvel[bodies], offset)
+  gmt = jnp.swapaxes(d.geom_xmat[g], -1, -2)
+  ang = jnp.einsum("gij,gj->gi", gmt, vel[:, :3])
+  lin = jnp.einsum("gij,gj->gi", gmt, vel[:, 3:])
+  lin = lin - jnp.einsum("gij,j->gi", gmt, m.opt.wind)
+
+  # --- added-mass forces (ref mj_addedMassForces:650) ---
+  p_lin = rho * v_mass * lin
+  p_ang = rho * v_inert * ang
+  frc_ang = jnp.cross(p_lin, lin) + jnp.cross(p_ang, ang)
+  frc_lin = jnp.cross(p_lin, ang)
+
+  # --- viscous/lift/drag (ref mj_viscousForces:705) ---
+  s0, s1, s2 = size[:, 0], size[:, 1], size[:, 2]
+  volume = 4.0 / 3.0 * jnp.pi * s0 * s1 * s2
+  d_max = jnp.max(size, axis=1)
+  d_min = jnp.min(size, axis=1)
+  d_mid = s0 + s1 + s2 - d_max - d_min
+  a_max = jnp.pi * d_max * d_mid
+
+  magnus = jnp.cross(ang, lin) * (c_magnus * rho * volume)[:, None]
+
+  pow2 = lambda x: x * x
+  pow4 = lambda x: pow2(x) * pow2(x)
+  proj_denom = (pow4(s1 * s2) * pow2(lin[:, 0])
+                + pow4(s2 * s0) * pow2(lin[:, 1])
+                + pow4(s0 * s1) * pow2(lin[:, 2]))
+  proj_num = (pow2(s1 * s2 * lin[:, 0]) + pow2(s2 * s0 * lin[:, 1])
+              + pow2(s0 * s1 * lin[:, 2]))
+  a_proj = jnp.pi * jnp.sqrt(
+      proj_denom / jnp.maximum(math.MINVAL, proj_num))
+
+  norm = jnp.stack([
+      pow2(s1 * s2) * lin[:, 0],
+      pow2(s2 * s0) * lin[:, 1],
+      pow2(s0 * s1) * lin[:, 2],
+  ], axis=1)
+  lin_norm = jnp.linalg.norm(lin, axis=1)
+  cos_alpha = proj_num / jnp.maximum(
+      math.MINVAL, lin_norm * proj_denom)
+  kutta_circ = jnp.cross(norm, lin) * (
+      c_kutta * rho * cos_alpha * a_proj)[:, None]
+  kutta = jnp.cross(kutta_circ, lin)
+
+  eq_d = 2.0 / 3.0 * (s0 + s1 + s2)
+  lin_visc_f = 3.0 * jnp.pi * eq_d
+  lin_visc_t = jnp.pi * eq_d**3
+
+  def max_moment(d0, d1, d2):
+    return 8.0 / 15.0 * jnp.pi * d0 * pow4(jnp.maximum(d1, d2))
+
+  i_max = 8.0 / 15.0 * jnp.pi * d_mid * pow4(d_max)
+  II = jnp.stack([
+      max_moment(s0, s1, s2), max_moment(s1, s2, s0), max_moment(s2, s0, s1)
+  ], axis=1)
+  mom_visc = ang * (c_ang[:, None] * II
+                    + c_slender[:, None] * (i_max[:, None] - II))
+
+  drag_lin = visc * lin_visc_f + rho * lin_norm * (
+      a_proj * c_blunt + c_slender * (a_max - a_proj))
+  drag_ang = visc * lin_visc_t + rho * jnp.linalg.norm(mom_visc, axis=1)
+
+  frc_ang = frc_ang - drag_ang[:, None] * ang
+  frc_lin = frc_lin + magnus + kutta - drag_lin[:, None] * lin
+
+  # interaction coef scaling; massless parent bodies are skipped like the
+  # reference's mj_fluid body loop (mass < MINVAL)
+  scale = interact[:, None] * (m.body_mass[bodies] >= 1e-15)[:, None]
+  frc_ang = frc_ang * scale
+  frc_lin = frc_lin * scale
+
+  # world frame, applied at geom centers: qfrc = sum_g mask_b (cdof @ u6)
+  f_w = jnp.einsum("gij,gj->gi", d.geom_xmat[g], frc_lin)
+  t_w = jnp.einsum("gij,gj->gi", d.geom_xmat[g], frc_ang)
+  u = jnp.concatenate([jnp.cross(offset, f_w) + t_w, f_w], axis=1)
+  rows = u @ d.cdof.T                                  # (ng, nv)
+  bmask = jnp.asarray(m.tree.body_dof_mask)[bodies]
+  return jnp.sum(jnp.where(bmask, rows, 0.0), axis=0).astype(dtype)
+
+
 def fluid(m: Model, d: Data) -> jax.Array:
   """Inertia-box fluid forces: viscosity + quadratic lift/drag.
 
@@ -76,12 +194,17 @@ def fluid(m: Model, d: Data) -> jax.Array:
   """
   dtype = d.qpos.dtype
 
-  # equivalent box from principal inertia (world body excluded via mass=0)
+  # equivalent box from principal inertia (world body excluded via mass=0;
+  # bodies owning an ellipsoid-fluid geom use the per-geom model instead,
+  # ref mj_fluid, engine_passive.c:404-427)
   inert = m.body_inertia  # (nbody, 3)
   mass = jnp.maximum(m.body_mass, 1e-15)
   sum_roll = inert[:, [1, 0, 0]] + inert[:, [2, 2, 1]] - inert
   box = jnp.sqrt(jnp.maximum(sum_roll, 1e-15) / mass[:, None] * 6.0)
-  box = box * (m.body_mass > 0)[:, None]
+  use_box = np.ones(m.nbody, bool)
+  for g in np.nonzero(m.geom_fluid_active)[0]:
+    use_box[m.geom_bodyid[g]] = False
+  box = box * ((m.body_mass > 0)[:, None] * jnp.asarray(use_box)[:, None])
 
   # 6D body velocity at xipos in the inertial frame, wind subtracted
   offset = d.xipos - d.subtree_com[m.body_rootid]
@@ -165,10 +288,15 @@ def passive(m: Model, d: Data) -> Data:
   if not (flags & DisableBit.GRAVITY):
     qfrc_gravcomp = gravcomp(m, d)
 
-  # inertia-box fluid model, gated statically on model fluid parameters
+  # fluid models, gated statically on model fluid parameters; bodies with
+  # ellipsoid-fluid geoms use the per-geom ellipsoid model, the rest the
+  # inertia-box model (ref mj_fluid, engine_passive.c:404)
   qfrc_fluid = zero
   if m.has_fluid:
     qfrc_fluid = fluid(m, d)
+    ell = np.nonzero(m.geom_fluid_active)[0]
+    if ell.size:
+      qfrc_fluid = qfrc_fluid + ellipsoid_fluid(m, d, ell)
 
   qfrc_passive = qfrc_spring + qfrc_damper + qfrc_fluid
 

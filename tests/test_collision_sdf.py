@@ -139,3 +139,35 @@ def test_slider_crank_reference_steps():
 
   dT = run(d)
   assert np.all(np.isfinite(np.asarray(dT.qpos)))
+
+
+def test_cylinder_box_lying():
+  """Cylinder lying on a box top face (beyond the MJX capability table)."""
+  _, _, rows = _ours("""
+  <mujoco><worldbody>
+    <body pos="0 0 0.1"><freejoint/>
+      <geom type="box" size="0.2 0.2 0.1" mass="1"/></body>
+    <body pos="0 0 0.245" euler="90 0 0"><freejoint/>
+      <geom type="cylinder" size="0.05 0.12" mass="0.2"/></body>
+  </worldbody></mujoco>""")
+  assert len(rows) >= 1
+  # canonical geom order puts the cylinder (type 5) first, so the contact
+  # normal (geom1 -> geom2) points down into the box
+  # flat-on-flat SDF descent converges to ~1e-5 of the true depth
+  for d, p, n in rows:
+    assert abs(d - (-0.005)) < 1e-4
+    np.testing.assert_allclose(n, [0, 0, -1], atol=1e-3)
+
+
+def test_ellipsoid_box():
+  _, _, rows = _ours("""
+  <mujoco><worldbody>
+    <body pos="0 0 0.1"><freejoint/>
+      <geom type="box" size="0.2 0.2 0.1" mass="1"/></body>
+    <body pos="0 0 0.24"><freejoint/>
+      <geom type="ellipsoid" size="0.08 0.06 0.05" mass="0.2"/></body>
+  </worldbody></mujoco>""")
+  assert len(rows) == 1
+  d, p, n = rows[0]
+  assert abs(d - (-0.01)) < 1e-5
+  np.testing.assert_allclose(n, [0, 0, -1], atol=1e-4)
