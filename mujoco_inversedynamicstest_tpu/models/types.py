@@ -562,6 +562,7 @@ class Contact:
   pos: jax.Array = None        # (ncon, 3)
   frame: jax.Array = None      # (ncon, 3, 3) rows = [normal, tan1, tan2]
   includemargin: jax.Array = None  # (ncon,)
+  margin: jax.Array = None     # (ncon,) detection margin (incl. gap)
   friction: jax.Array = None   # (ncon, 5)
   solref: jax.Array = None     # (ncon, 2)
   solreffriction: jax.Array = None  # (ncon, 2)

@@ -87,17 +87,32 @@ class PairGroup(NamedTuple):
   # group shares one static hull topology
   did1: int = -1
   did2: int = -1
+  # shared condim of the group's pairs (part of the group key: uniform
+  # condim keeps the efc row layout static under top-k pair pruning)
+  condim: int = 3
+  # runtime pair budget: number of pairs actually narrowphased (top-k by
+  # bounding-sphere distance); == len(geom1) when uncapped
+  npair_run: int = -1
 
 
 class ContactLayout(NamedTuple):
-  """Static contact-slot layout for a model."""
+  """Static contact-slot layout for a model.
+
+  ``dim``/``efc_address`` describe the *reduced* slot set (after the
+  optional ``max_contact_points`` per-condim top-k); geom identities are
+  runtime data in ``Contact.geom1/geom2``, never static tables.
+  """
   groups: Tuple[PairGroup, ...]
   ncon: int
-  # per-slot static tables, length ncon:
-  geom1: np.ndarray
+  geom1: np.ndarray      # (ncon,) -1 sentinels (kept for shape/compat)
   geom2: np.ndarray
-  dim: np.ndarray        # condim per slot
+  dim: np.ndarray        # condim per (reduced) slot
   efc_address: np.ndarray
+  # full (pre-reduction) slot count and per-slot condim
+  ncon_full: int = 0
+  full_dim: np.ndarray = None
+  # per condim value: (condim, full-slot indices, kept count)
+  reduce_groups: Tuple = ()
 
 
 def _mix_condim(m: Model, g1: int, g2: int) -> int:
@@ -118,45 +133,54 @@ def contact_layout(m: Model) -> ContactLayout:
         dim=np.zeros(0, np.int32), efc_address=np.zeros(0, np.int32),
     )
 
-  exclude = set()
-  for sig in m.exclude_signature:
-    exclude.add((int(sig) >> 16, int(sig) & 0xFFFF))
-
   raw = []  # (g1, g2, ipair, condim)
   # explicit <pair> elements take their own parameters
   for k in range(len(m.pair_geom1)):
     raw.append((int(m.pair_geom1[k]), int(m.pair_geom2[k]), k,
                 int(m.pair_dim[k])))
 
-  # auto-generated pairs
-  explicit = {(a, b) for a, b, _, _ in raw} | {
-      (b, a) for a, b, _, _ in raw
-  }
-  for g1 in range(m.ngeom):
-    for g2 in range(g1 + 1, m.ngeom):
-      if (g1, g2) in explicit:
-        continue
-      b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
-      if b1 == b2:
-        continue
-      w1, w2 = int(m.body_weldid[b1]), int(m.body_weldid[b2])
-      if w1 == w2:
-        continue
-      if (w1, w2) in exclude or (w2, w1) in exclude:
-        continue
-      # parent-child filter on weld parents (world exempt)
-      pw1 = int(m.body_weldid[m.body_parentid[w1]])
-      pw2 = int(m.body_weldid[m.body_parentid[w2]])
-      parent_child = (w1 == pw2 and w1 != 0) or (w2 == pw1 and w2 != 0)
-      if parent_child and not (
-          m.opt.disableflags & DisableBit.FILTERPARENT
-      ):
-        continue
-      t1 = m.geom_contype[g1] & m.geom_conaffinity[g2]
-      t2 = m.geom_contype[g2] & m.geom_conaffinity[g1]
-      if not (t1 or t2):
-        continue
-      raw.append((g1, g2, -1, _mix_condim(m, g1, g2)))
+  # auto-generated pairs: fully vectorized candidate masking (the
+  # reference's dynamic broadphase filters, applied statically; scales to
+  # humanoid100-class geom counts without a python double loop)
+  ng = m.ngeom
+  if ng > 1:
+    tri1, tri2 = np.triu_indices(ng, k=1)
+    b1 = m.geom_bodyid[tri1]
+    b2 = m.geom_bodyid[tri2]
+    w1 = m.body_weldid[b1]
+    w2 = m.body_weldid[b2]
+    keep = (b1 != b2) & (w1 != w2)
+
+    if len(m.exclude_signature):
+      sig = (w1.astype(np.int64) << 16) | w2
+      gis = (w2.astype(np.int64) << 16) | w1
+      excl = np.asarray(m.exclude_signature, np.int64)
+      keep &= ~np.isin(sig, excl) & ~np.isin(gis, excl)
+
+    if not (m.opt.disableflags & DisableBit.FILTERPARENT):
+      pw1 = m.body_weldid[m.body_parentid[w1]]
+      pw2 = m.body_weldid[m.body_parentid[w2]]
+      parent_child = ((w1 == pw2) & (w1 != 0)) | ((w2 == pw1) & (w2 != 0))
+      keep &= ~parent_child
+
+    keep &= ((m.geom_contype[tri1] & m.geom_conaffinity[tri2])
+             | (m.geom_contype[tri2] & m.geom_conaffinity[tri1])) != 0
+
+    if len(m.pair_geom1):
+      ex1 = np.concatenate([m.pair_geom1, m.pair_geom2]).astype(np.int64)
+      ex2 = np.concatenate([m.pair_geom2, m.pair_geom1]).astype(np.int64)
+      pair_sig = tri1.astype(np.int64) * ng + tri2
+      keep &= ~np.isin(pair_sig, ex1 * ng + ex2)
+
+    # condim mixing (priority override, else max) — vectorized
+    p1 = m.geom_priority[tri1]
+    p2 = m.geom_priority[tri2]
+    cd = np.where(p1 > p2, m.geom_condim[tri1],
+                  np.where(p2 > p1, m.geom_condim[tri2],
+                           np.maximum(m.geom_condim[tri1],
+                                      m.geom_condim[tri2])))
+    for g1, g2, c in zip(tri1[keep], tri2[keep], cd[keep]):
+      raw.append((int(g1), int(g2), -1, int(c)))
 
   # canonical order: smaller geom type first
   ordered = []
@@ -179,15 +203,20 @@ def contact_layout(m: Model) -> ContactLayout:
       did1 = did2 = -1
     ordered.append((key, did1, did2, g1, g2, ip, condim))
 
-  # group by (type signature, mesh ids)
+  # group by (type signature, mesh ids, condim); per-group runtime pair
+  # budget from max_geom_pairs (MJX <numeric> convention, reference
+  # mjx/mujoco/mjx/_src/collision_driver.py:336-372)
   groups = []
   slot_g1, slot_g2, slot_dim = [], [], []
   by_key = {}
   for key, did1, did2, g1, g2, ip, condim in ordered:
-    by_key.setdefault((key, did1, did2), []).append((g1, g2, ip, condim))
-  for key, did1, did2 in sorted(by_key):
-    entries = by_key[(key, did1, did2)]
+    by_key.setdefault((key, did1, did2, condim), []).append((g1, g2, ip))
+  for key, did1, did2, condim in sorted(by_key):
+    entries = by_key[(key, did1, did2, condim)]
     nslot = _PAIR_SLOTS[key]
+    npair_run = len(entries)
+    if m.max_geom_pairs > 0:
+      npair_run = min(npair_run, m.max_geom_pairs)
     groups.append(PairGroup(
         types=key,
         geom1=np.array([e[0] for e in entries], np.int32),
@@ -196,16 +225,33 @@ def contact_layout(m: Model) -> ContactLayout:
         nslot=nslot,
         did1=did1,
         did2=did2,
+        condim=condim,
+        npair_run=npair_run,
     ))
-    for g1, g2, ip, condim in entries:
-      slot_g1 += [g1] * nslot
-      slot_g2 += [g2] * nslot
+    for _ in range(npair_run):
+      slot_g1 += [-1] * nslot       # geom ids are runtime Contact fields
+      slot_g2 += [-1] * nslot
       slot_dim += [condim] * nslot
 
   from mujoco_inversedynamicstest_tpu.models.types import ConeType
 
   elliptic = m.opt.cone == ConeType.ELLIPTIC
-  dim = np.array(slot_dim, np.int32)
+  full_dim = np.array(slot_dim, np.int32)
+
+  # optional per-condim slot budget (max_contact_points, MJX convention):
+  # the reduced layout keeps the top-k nearest slots of each condim value
+  reduce_groups = []
+  dim_list = []
+  if m.max_contact_points > 0 and len(full_dim):
+    for c in sorted(set(full_dim.tolist())):
+      idx = np.nonzero(full_dim == c)[0]
+      keep = min(len(idx), m.max_contact_points)
+      reduce_groups.append((int(c), idx.astype(np.int32), keep))
+      dim_list += [c] * keep
+    dim = np.array(dim_list, np.int32)
+  else:
+    dim = full_dim
+
   efc_address = np.zeros(len(dim), np.int32)
   adr = 0
   for i, c in enumerate(dim):
@@ -215,10 +261,13 @@ def contact_layout(m: Model) -> ContactLayout:
   return ContactLayout(
       groups=tuple(groups),
       ncon=len(dim),
-      geom1=np.array(slot_g1, np.int32),
-      geom2=np.array(slot_g2, np.int32),
+      geom1=np.full(len(dim), -1, np.int32),
+      geom2=np.full(len(dim), -1, np.int32),
       dim=dim,
       efc_address=efc_address,
+      ncon_full=len(full_dim),
+      full_dim=full_dim,
+      reduce_groups=tuple(reduce_groups),
   )
 
 
@@ -269,22 +318,6 @@ def geom_distance(m: Model, d: Data, g1: int, g2: int, distmax):
       pos[k] - n * (dmin * 0.5), pos[k] + n * (dmin * 0.5)])
   return (jnp.where(found, dmin, distmax),
           jnp.where(found, fromto, jnp.zeros(6, dtype)))
-
-
-def slot_margins(m: Model, lay: ContactLayout) -> jax.Array:
-  """Per-slot detection margin (pair override or max of geom margins)."""
-  # rebuild the per-slot ipair mapping from the groups
-  margins = []
-  for grp in lay.groups:
-    g1, g2 = grp.geom1, grp.geom2
-    mg = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-    if np.any(grp.ipair >= 0):
-      ip = np.where(grp.ipair >= 0, grp.ipair, 0)
-      mg = jnp.where(jnp.asarray(grp.ipair >= 0), m.pair_margin[ip], mg)
-    margins.append(jnp.repeat(mg, grp.nslot))
-  if not margins:
-    return jnp.zeros(0, dtype=m.geom_margin.dtype)
-  return jnp.concatenate(margins)
 
 
 def make_frame(normal: jax.Array, yhint: jax.Array) -> jax.Array:
@@ -632,21 +665,47 @@ def _pair_params(m: Model, grp: PairGroup):
 
 
 def collision(m: Model, d: Data) -> Data:
-  """Runs all narrowphase groups, fills the static-shape contact set."""
+  """Runs all narrowphase groups, fills the static-shape contact set.
+
+  Budgeting (the TPU analog of the reference's SAP+BVH broadphase,
+  ``mj_collision`` engine_collision_driver.c:265, and of MJX's
+  ``max_geom_pairs``/``max_contact_points`` top-k):
+  * per group, only the ``npair_run`` nearest candidate pairs (by
+    bounding-sphere distance) are narrowphased when capped;
+  * afterwards, an optional per-condim top-k keeps the nearest slots.
+  """
   lay = contact_layout(m)
   dtype = d.qpos.dtype
 
   if lay.ncon == 0:
     return d.replace(contact=_empty_contact(m, dtype))
 
-  dists, poss, frames, incmargins = [], [], [], []
+  dists, poss, frames, incmargins, margins = [], [], [], [], []
   frictions, solrefs, solreffrictions, solimps = [], [], [], []
   geom1s, geom2s = [], []
 
   for grp in lay.groups:
     fn = _group_narrowphase(m, grp)
-    g1, g2 = grp.geom1, grp.geom2
     margin, incmargin, fri, sr, srf, si = _pair_params(m, grp)
+    g1, g2 = grp.geom1, grp.geom2
+
+    if grp.npair_run < len(grp.geom1):
+      # broadphase: top-k nearest pairs by bounding-sphere distance
+      # (planes use the signed plane distance; ref mj_broadphase
+      # filterSphere semantics)
+      p1 = d.geom_xpos[g1]
+      p2 = d.geom_xpos[g2]
+      if grp.types[0] == GeomType.PLANE:
+        n = d.geom_xmat[g1][:, :, 2]
+        bdist = jnp.einsum("pi,pi->p", p2 - p1, n) - m.geom_rbound[g2]
+      else:
+        bdist = (jnp.linalg.norm(p2 - p1, axis=1)
+                 - m.geom_rbound[g1] - m.geom_rbound[g2])
+      _, sel = jax.lax.top_k(-(bdist - margin), grp.npair_run)
+      g1 = jnp.asarray(g1)[sel]
+      g2 = jnp.asarray(g2)[sel]
+      margin, incmargin = margin[sel], incmargin[sel]
+      fri, sr, srf, si = fri[sel], sr[sel], srf[sel], si[sel]
 
     dist, pos, nrm, yhint = jax.vmap(fn)(
         d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
@@ -661,27 +720,53 @@ def collision(m: Model, d: Data) -> Data:
     poss.append(pos.reshape(-1, 3))
     frames.append(frame.reshape(-1, 3, 3))
     incmargins.append(rep(incmargin))
+    margins.append(rep(margin))
     frictions.append(rep(fri))
     solrefs.append(rep(sr))
     solreffrictions.append(rep(srf))
     solimps.append(rep(si))
-    geom1s.append(np.repeat(g1, k))
-    geom2s.append(np.repeat(g2, k))
+    geom1s.append(rep(jnp.asarray(g1)))
+    geom2s.append(rep(jnp.asarray(g2)))
 
   contact = Contact(
       dist=jnp.concatenate(dists),
       pos=jnp.concatenate(poss),
       frame=jnp.concatenate(frames),
       includemargin=jnp.concatenate(incmargins),
+      margin=jnp.concatenate(margins),
       friction=jnp.concatenate(frictions),
       solref=jnp.concatenate(solrefs),
       solreffriction=jnp.concatenate(solreffrictions),
       solimp=jnp.concatenate(solimps),
-      geom1=jnp.asarray(np.concatenate(geom1s)),
-      geom2=jnp.asarray(np.concatenate(geom2s)),
+      geom1=jnp.concatenate(geom1s).astype(jnp.int32),
+      geom2=jnp.concatenate(geom2s).astype(jnp.int32),
       efc_address=lay.efc_address,
       dim=lay.dim,
   )
+
+  # per-condim slot budget: keep the nearest max_contact_points slots
+  if lay.reduce_groups:
+    sels = []
+    for c, idx, keep in lay.reduce_groups:
+      if keep == len(idx):
+        sels.append(jnp.asarray(idx))
+      else:
+        score = contact.dist[idx] - contact.includemargin[idx]
+        _, topk = jax.lax.top_k(-score, keep)
+        sels.append(jnp.asarray(idx)[topk])
+    sel = jnp.concatenate(sels)
+    contact = Contact(
+        dist=contact.dist[sel], pos=contact.pos[sel],
+        frame=contact.frame[sel],
+        includemargin=contact.includemargin[sel],
+        margin=contact.margin[sel], friction=contact.friction[sel],
+        solref=contact.solref[sel],
+        solreffriction=contact.solreffriction[sel],
+        solimp=contact.solimp[sel], geom1=contact.geom1[sel],
+        geom2=contact.geom2[sel],
+        efc_address=lay.efc_address, dim=lay.dim,
+    )
+
   return d.replace(contact=contact)
 
 
@@ -689,6 +774,7 @@ def _empty_contact(m: Model, dtype) -> Contact:
   z = lambda *s: jnp.zeros(s, dtype=dtype)
   return Contact(
       dist=z(0), pos=z(0, 3), frame=z(0, 3, 3), includemargin=z(0),
+      margin=z(0),
       friction=z(0, 5), solref=z(0, 2), solreffriction=z(0, 2),
       solimp=z(0, 5), geom1=jnp.zeros(0, jnp.int32),
       geom2=jnp.zeros(0, jnp.int32),
@@ -705,8 +791,8 @@ def alloc_contact(m: Model, dtype) -> Contact:
   return Contact(
       dist=jnp.full((n,), _BIG, dtype=dtype), pos=z(n, 3),
       frame=jnp.tile(jnp.eye(3, dtype=dtype), (n, 1, 1)),
-      includemargin=z(n), friction=z(n, 5), solref=z(n, 2),
+      includemargin=z(n), margin=z(n), friction=z(n, 5), solref=z(n, 2),
       solreffriction=z(n, 2), solimp=z(n, 5),
-      geom1=jnp.asarray(lay.geom1), geom2=jnp.asarray(lay.geom2),
+      geom1=jnp.zeros(n, jnp.int32), geom2=jnp.zeros(n, jnp.int32),
       efc_address=lay.efc_address, dim=lay.dim,
   )

@@ -687,8 +687,9 @@ def _contact_rows(m: Model, d: Data):
   ncon = clay.ncon
   elliptic = _is_elliptic(m)
 
-  b1 = m.geom_bodyid[clay.geom1]
-  b2 = m.geom_bodyid[clay.geom2]
+  # geom identities are runtime Contact data (slots may be top-k selected)
+  b1 = jnp.asarray(m.geom_bodyid)[con.geom1]
+  b2 = jnp.asarray(m.geom_bodyid)[con.geom2]
 
   slot_idx, k_idx, sign_np = _contact_row_map(m, clay)
   sign = jnp.asarray(sign_np, dtype=dtype)

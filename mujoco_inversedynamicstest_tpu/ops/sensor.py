@@ -418,17 +418,15 @@ def _touch(m: Model, d: Data, siteid: int):
     return jnp.zeros((), dtype)
   con = d.contact
   bodyid = int(m.site_bodyid[siteid])
-  b1 = m.geom_bodyid[clay.geom1]
-  b2 = m.geom_bodyid[clay.geom2]
+  b1 = jnp.asarray(m.geom_bodyid)[con.geom1]
+  b2 = jnp.asarray(m.geom_bodyid)[con.geom2]
   relevant = (b1 == bodyid) | (b2 == bodyid)
-  if not np.any(relevant):
-    return jnp.zeros((), dtype)
 
   forces = con_mod.contact_forces_frame(m, d)
   f0 = forces[:, 0]
   # force ray direction: contact normal, flipped when the sensor body is
   # the contact's second body
-  sign = jnp.asarray(np.where(b2 == bodyid, -1.0, 1.0), dtype)
+  sign = jnp.where(b2 == bodyid, -1.0, 1.0).astype(dtype)
   dirs = con.frame[:, 0] * sign[:, None]
 
   stype = int(m.site_type[siteid])
@@ -439,8 +437,7 @@ def _touch(m: Model, d: Data, siteid: int):
   )(con.pos, dirs)
 
   active = con.dist < con.includemargin
-  include = (jnp.asarray(relevant) & active & (f0 > 0)
-             & jnp.isfinite(hit))
+  include = relevant & active & (f0 > 0) & jnp.isfinite(hit)
   return jnp.sum(jnp.where(include, f0, 0.0))
 
 

@@ -735,10 +735,9 @@ def transmission(m: Model, d: Data) -> Data:
     clay = coll_mod.contact_layout(m)
     if clay.ncon:
       con = d.contact
-      margins = coll_mod.slot_margins(m, clay)
-      counted = con.dist < margins
-      b1 = m.geom_bodyid[clay.geom1]
-      b2 = m.geom_bodyid[clay.geom2]
+      counted = con.dist < con.margin
+      b1 = jnp.asarray(m.geom_bodyid)[con.geom1]
+      b2 = jnp.asarray(m.geom_bodyid)[con.geom2]
 
       # normal-direction Jacobian per slot (the average of pyramid rows
       # equals J_normal exactly; elliptic row0 is J_normal)
@@ -756,8 +755,8 @@ def transmission(m: Model, d: Data) -> Data:
 
       for i in sel:
         bid = int(m.actuator_trnid[i, 0])
-        relevant = np.asarray((b1 == bid) | (b2 == bid))
-        cmask = (counted & jnp.asarray(relevant)).astype(jn.dtype)
+        relevant = (b1 == bid) | (b2 == bid)
+        cmask = (counted & relevant).astype(jn.dtype)
         counter = jnp.sum(cmask)
         mom = -(cmask @ jn) / jnp.maximum(1.0, counter)
         mom = jnp.where(counter > 0, mom, 0.0)
@@ -876,10 +875,11 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
     f_world = jnp.einsum("cij,ci->cj", con.frame, forces[:, :3])
     t_world = jnp.einsum("cij,ci->cj", con.frame, forces[:, 3:])
 
-    b1 = m.geom_bodyid[clay.geom1]
-    b2 = m.geom_bodyid[clay.geom2]
-    com1 = d.subtree_com[m.body_rootid[b1]]
-    com2 = d.subtree_com[m.body_rootid[b2]]
+    b1 = jnp.asarray(m.geom_bodyid)[con.geom1]
+    b2 = jnp.asarray(m.geom_bodyid)[con.geom2]
+    rootid = jnp.asarray(m.body_rootid)
+    com1 = d.subtree_com[rootid[b1]]
+    com2 = d.subtree_com[rootid[b2]]
 
     def wrench(com):
       off = com - con.pos
