@@ -58,6 +58,7 @@ from mujoco_inversedynamicstest_tpu.ops.inverse import (
     inverse,
 )
 from mujoco_inversedynamicstest_tpu.ops.passive import passive
+from mujoco_inversedynamicstest_tpu import viewer
 from mujoco_inversedynamicstest_tpu.ops.smooth import (
     com_pos,
     com_vel,

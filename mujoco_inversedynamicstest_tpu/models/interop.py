@@ -93,13 +93,19 @@ _STATE_FIELDS = (
 )
 
 
-def get_data(m: Model, d: Data, mjd=None):
+def get_data(m: Model, d: Data, mjd=None, recompute: bool = True):
   """Copies a (single, unbatched) ``Data`` into a ``mujoco.MjData``.
 
-  The primary-state fields are copied and the C engine's ``mj_forward``
-  recomputes every derived quantity, so the result is internally
-  consistent for the reference viewer/renderer/sensors.  Pass an existing
-  ``mjd`` to reuse its allocation (viewer loop).
+  With ``recompute=True`` (default) only the primary-state fields are
+  copied and the C engine's ``mj_forward`` recomputes every derived
+  quantity, so the result is internally consistent for the reference
+  viewer/renderer.  NOTE this replaces our device-computed derived fields
+  (sensordata, contacts, qacc) with the C engine's — do NOT use the
+  recomputed values to "validate" the device engine against itself.
+  With ``recompute=False`` the device-computed derived fields (xpos,
+  xquat, sensordata, qacc, qfrc_*) are copied verbatim instead and no C
+  forward pass runs.  Pass an existing ``mjd`` to reuse its allocation
+  (viewer loop).
   """
   import mujoco
 
@@ -121,7 +127,27 @@ def get_data(m: Model, d: Data, mjd=None):
     mjd.mocap_pos[:] = np.asarray(d.mocap_pos, dtype=np.float64)
     mjd.mocap_quat[:] = np.asarray(d.mocap_quat, dtype=np.float64)
 
-  mujoco.mj_forward(src, mjd)
+  if recompute:
+    mujoco.mj_forward(src, mjd)
+    return mjd
+
+  # copy device-computed derived quantities verbatim
+  mjd.xpos[:] = np.asarray(d.xpos, dtype=np.float64)
+  mjd.xquat[:] = np.asarray(d.xquat, dtype=np.float64)
+  mjd.xmat[:] = np.asarray(d.xmat, dtype=np.float64).reshape(-1, 9)
+  mjd.xipos[:] = np.asarray(d.xipos, dtype=np.float64)
+  mjd.geom_xpos[:] = np.asarray(d.geom_xpos, dtype=np.float64)
+  mjd.geom_xmat[:] = np.asarray(d.geom_xmat, dtype=np.float64).reshape(-1, 9)
+  mjd.site_xpos[:] = np.asarray(d.site_xpos, dtype=np.float64)
+  mjd.site_xmat[:] = np.asarray(d.site_xmat, dtype=np.float64).reshape(-1, 9)
+  mjd.qacc[:] = np.asarray(d.qacc, dtype=np.float64)
+  mjd.qfrc_constraint[:] = np.asarray(d.qfrc_constraint, dtype=np.float64)
+  mjd.qfrc_passive[:] = np.asarray(d.qfrc_passive, dtype=np.float64)
+  mjd.qfrc_actuator[:] = np.asarray(d.qfrc_actuator, dtype=np.float64)
+  if mjd.sensordata.size:
+    mjd.sensordata[:] = np.asarray(d.sensordata, dtype=np.float64)
+  if m.nflexvert:
+    mjd.flexvert_xpos[:] = np.asarray(d.flexvert_xpos, dtype=np.float64)
   return mjd
 
 

@@ -223,6 +223,102 @@ _SUPPORTED_SENSORS = frozenset({
 })
 
 
+def _put_flex(mjm, dtype) -> dict:
+  """Flex (deformable) model fields, with local vert/edge indices rebased
+  to global and the triangular per-element stiffness unpacked into a dense
+  metric tensor (ref ``engine_passive.c:239-252``)."""
+  nflex = int(getattr(mjm, "nflex", 0))
+  if not nflex:
+    return {}
+  nvert, nedge, nelem = int(mjm.nflexvert), int(mjm.nflexedge), int(
+      mjm.nflexelem)
+  dim = _np(mjm.flex_dim)
+  vertadr, edgeadr = _np(mjm.flex_vertadr), _np(mjm.flex_edgeadr)
+  elemadr, elemnum = _np(mjm.flex_elemadr), _np(mjm.flex_elemnum)
+
+  # edges: local vert index -> global
+  edge = _np(mjm.flex_edge).reshape(nedge, 2).copy()
+  vertflexid = np.zeros(nvert, dtype=np.int32)
+  for f in range(nflex):
+    edge[edgeadr[f]:edgeadr[f] + mjm.flex_edgenum[f]] += vertadr[f]
+    vertflexid[vertadr[f]:vertadr[f] + mjm.flex_vertnum[f]] = f
+
+  # elements: ragged (dim+1) vert lists and edge-per-element lists, padded
+  nvpe = int(dim.max()) + 1                      # verts per element (max)
+  nepe = {1: 1, 2: 3, 3: 6}[int(dim.max())]      # edges per element (max)
+  elem = np.full((nelem, nvpe), -1, dtype=np.int32)
+  elemedge = np.full((nelem, nepe), -1, dtype=np.int32)
+  flat_elem = _np(mjm.flex_elem)
+  flat_ee = _np(getattr(mjm, "flex_elemedge", np.zeros(0)))
+  for f in range(nflex):
+    dvpe, depe = dim[f] + 1, {1: 1, 2: 3, 3: 6}[int(dim[f])]
+    base = _np(mjm.flex_elemdataadr)[f]
+    eebase = _np(mjm.flex_elemedgeadr)[f]
+    for e in range(elemnum[f]):
+      elem[elemadr[f] + e, :dvpe] = (
+          flat_elem[base + e * dvpe:base + (e + 1) * dvpe] + vertadr[f])
+      if flat_ee.size:
+        elemedge[elemadr[f] + e, :depe] = (
+            flat_ee[eebase + e * depe:eebase + (e + 1) * depe] + edgeadr[f])
+
+  # dense metric from triangular flex_stiffness (21 floats/element; empty
+  # when the model has no flex elasticity)
+  stiff = _np(mjm.flex_stiffness)
+  stiff = (stiff.reshape(nelem, 21) if stiff.size
+           else np.zeros((nelem, 21)))
+  metric = np.zeros((nelem, nepe, nepe))
+  tri_r, tri_c = np.triu_indices(nepe)
+  for f in range(nflex):
+    if dim[f] == 1 or mjm.flex_rigid[f]:
+      continue
+    depe = {1: 1, 2: 3, 3: 6}[int(dim[f])]
+    r, c = np.triu_indices(depe)
+    sl = slice(elemadr[f], elemadr[f] + elemnum[f])
+    metric[sl, r, c] = stiff[sl, :len(r)]
+    metric[sl, c, r] = stiff[sl, :len(r)]
+
+  return dict(
+      flex_vert=_jx(mjm.flex_vert, dtype),
+      flexedge_length0=_jx(mjm.flexedge_length0, dtype),
+      flexedge_invweight0=_jx(mjm.flexedge_invweight0, dtype),
+      flex_edgestiffness=_jx(mjm.flex_edgestiffness, dtype),
+      flex_edgedamping=_jx(mjm.flex_edgedamping, dtype),
+      flex_damping=_jx(mjm.flex_damping, dtype),
+      flex_metric=_jx(metric, dtype),
+      flex_radius=_jx(mjm.flex_radius, dtype),
+      flex_friction=_jx(mjm.flex_friction, dtype),
+      flex_solref=_jx(mjm.flex_solref, dtype),
+      flex_solimp=_jx(mjm.flex_solimp, dtype),
+      flex_margin=_jx(mjm.flex_margin, dtype),
+      flex_gap=_jx(mjm.flex_gap, dtype),
+      flex_solmix=_jx(mjm.flex_solmix, dtype),
+      flex_vertbodyid=_np(mjm.flex_vertbodyid),
+      flex_vertadr=vertadr,
+      flex_vertnum=_np(mjm.flex_vertnum),
+      flex_edgeadr=edgeadr,
+      flex_edgenum=_np(mjm.flex_edgenum),
+      flex_edge=edge,
+      flexedge_rigid=_np(mjm.flexedge_rigid).astype(bool),
+      flex_elem=elem,
+      flex_elemedge=elemedge,
+      flex_elemadr=elemadr,
+      flex_elemnum=elemnum,
+      flex_dim=dim,
+      flex_centered=_np(mjm.flex_centered).astype(bool),
+      flex_rigid=_np(mjm.flex_rigid).astype(bool),
+      flex_edgeequality=_np(mjm.flex_edgeequality).astype(bool),
+      flex_contype=_np(mjm.flex_contype),
+      flex_conaffinity=_np(mjm.flex_conaffinity),
+      flex_condim=_np(mjm.flex_condim),
+      flex_priority=_np(mjm.flex_priority),
+      flex_vertflexid=vertflexid,
+      has_flex_elasticity=bool(np.any(np.abs(metric) > 0)),
+      has_flex_edge_sd=bool(
+          np.any(_np(mjm.flex_edgestiffness) > 0)
+          | np.any(_np(mjm.flex_edgedamping) > 0)),
+  )
+
+
 def validate_model(mjm) -> None:
   """Raises NotImplementedError for any feature this engine cannot
   simulate faithfully — at load time, never silently.
@@ -244,8 +340,13 @@ def validate_model(mjm) -> None:
   if mjm.opt.solver == SolverType.PGS:
     bad("PGS solver (dual); set solver='CG' or 'Newton'")
 
-  if getattr(mjm, "nflex", 0):
-    bad("flex (deformable) bodies")
+  for f in range(getattr(mjm, "nflex", 0)):
+    if mjm.flex_interp[f]:
+      bad("flex trilinear nodal interpolation (flex_interp=1)")
+    if getattr(mjm, "nflexnode", 0):
+      bad("flex nodal dofs")
+    if mjm.flex_selfcollide[f] not in (0,):  # mjFLEXSELF_NONE
+      bad("flex self-collision")
   if getattr(mjm, "nplugin", 0):
     bad("engine plugins")
 
@@ -272,7 +373,8 @@ def validate_model(mjm) -> None:
     # DISTANCE was removed from the reference in MuJoCo 2.2.2 (its own
     # reader throws, xml_native_reader.cc:2011) — n/a by design
     if mjm.eq_type[i] not in (int(EqType.CONNECT), int(EqType.WELD),
-                              int(EqType.JOINT), int(EqType.TENDON)):
+                              int(EqType.JOINT), int(EqType.TENDON),
+                              int(EqType.FLEX)):
       bad(f"equality constraint type {mujoco.mjtEq(mjm.eq_type[i]).name}")
 
   for i in range(mjm.nu):
@@ -324,6 +426,10 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       nsensor=int(mjm.nsensor),
       nsensordata=int(mjm.nsensordata),
       nflexvert=int(getattr(mjm, "nflexvert", 0)),
+      nflex=int(getattr(mjm, "nflex", 0)),
+      nflexedge=int(getattr(mjm, "nflexedge", 0)),
+      nflexelem=int(getattr(mjm, "nflexelem", 0)),
+      **_put_flex(mjm, dtype),
       nmesh=int(mjm.nmesh),
       opt=put_option(mjm.opt, dtype),
       tree=tree,
@@ -521,6 +627,7 @@ def make_data(m: Model, dtype=None) -> Data:
   """
   from mujoco_inversedynamicstest_tpu.ops.collision import alloc_contact
   from mujoco_inversedynamicstest_tpu.ops.constraint import row_layout
+  from mujoco_inversedynamicstest_tpu.ops import solver as solver_mod
 
   dtype = dtype or m.dtype
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
@@ -567,6 +674,10 @@ def make_data(m: Model, dtype=None) -> Data:
       qLD=z(nv, nv),
       ten_length=z(m.ntendon),
       ten_J=z(m.ntendon, nv),
+      flexvert_xpos=z(m.nflexvert, 3),
+      flexedge_length=z(m.nflexedge),
+      flexedge_J=z(m.nflexedge, nv),
+      flexedge_velocity=z(m.nflexedge),
       actuator_length=z(m.nu),
       actuator_moment=z(m.nu, nv),
       cvel=z(nbody, 6),
@@ -611,6 +722,7 @@ def make_data(m: Model, dtype=None) -> Data:
       energy=z(2),
       solver_fwdinv=z(2),
       solver_niter=jnp.asarray(0, dtype=jnp.int32),
+      solver_stat=z(solver_mod.stat_cap(m), 3),
   )
 
 

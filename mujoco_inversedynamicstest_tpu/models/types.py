@@ -123,6 +123,7 @@ class EqType(enum.IntEnum):
   WELD = 1
   JOINT = 2
   TENDON = 3
+  FLEX = 4
   DISTANCE = 7
 
 
@@ -339,6 +340,9 @@ class Model:
   nsensor: int = static_field(default=0)
   nsensordata: int = static_field(default=0)
   nflexvert: int = static_field(default=0)
+  nflex: int = static_field(default=0)
+  nflexedge: int = static_field(default=0)
+  nflexelem: int = static_field(default=0)
   nmesh: int = static_field(default=0)
 
   # ------- options / tree layout (nested pytrees) -------
@@ -496,6 +500,49 @@ class Model:
   wrap_prm_np: np.ndarray = static_field(default=None)  # host copy: sidesite
   # ids for geom wraps, pulley divisors, joint coefficients
 
+  # ------- flex (deformables; ref mj_flex engine_core_smooth.c:442) -------
+  flex_vert: jax.Array = None            # (nflexvert, 3) body-local coords
+  flexedge_length0: jax.Array = None     # (nflexedge,)
+  flexedge_invweight0: jax.Array = None  # (nflexedge,)
+  flex_edgestiffness: jax.Array = None   # (nflex,)
+  flex_edgedamping: jax.Array = None     # (nflex,)
+  flex_damping: jax.Array = None         # (nflex,) Rayleigh damping coef
+  # dense per-element metric tensor unpacked from the triangular
+  # flex_stiffness storage (nflexelem, nedge_pe, nedge_pe); zero rows for
+  # elements of flexes without elasticity
+  flex_metric: jax.Array = None
+  flex_radius: jax.Array = None          # (nflex,)
+  flex_friction: jax.Array = None        # (nflex, 3)
+  flex_solref: jax.Array = None          # (nflex, 2)
+  flex_solimp: jax.Array = None          # (nflex, 5)
+  flex_margin: jax.Array = None          # (nflex,)
+  flex_gap: jax.Array = None             # (nflex,)
+  flex_vertbodyid: np.ndarray = static_field(default=None)  # (nflexvert,)
+  flex_vertadr: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_vertnum: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_edgeadr: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_edgenum: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_edge: np.ndarray = static_field(default=None)  # (nflexedge, 2) GLOBAL
+  flexedge_rigid: np.ndarray = static_field(default=None)   # (nflexedge,)
+  # (nflexelem, dim+1) GLOBAL vert ids and (nflexelem, nedge_pe) GLOBAL
+  # edge ids (ragged dims padded with -1 when flexes of mixed dim coexist)
+  flex_elem: np.ndarray = static_field(default=None)
+  flex_elemedge: np.ndarray = static_field(default=None)
+  flex_elemadr: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_elemnum: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_dim: np.ndarray = static_field(default=None)         # (nflex,)
+  flex_centered: np.ndarray = static_field(default=None)    # (nflex,)
+  flex_rigid: np.ndarray = static_field(default=None)       # (nflex,)
+  flex_edgeequality: np.ndarray = static_field(default=None)  # (nflex,)
+  flex_contype: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_conaffinity: np.ndarray = static_field(default=None)  # (nflex,)
+  flex_condim: np.ndarray = static_field(default=None)      # (nflex,)
+  flex_priority: np.ndarray = static_field(default=None)    # (nflex,)
+  flex_solmix: jax.Array = None                             # (nflex,)
+  flex_vertflexid: np.ndarray = static_field(default=None)  # (nflexvert,)
+  has_flex_elasticity: bool = static_field(default=False)
+  has_flex_edge_sd: bool = static_field(default=False)
+
   # ------- sensors -------
   sensor_cutoff: jax.Array = None     # (nsensor,)
   sensor_type: np.ndarray = static_field(default=None)
@@ -612,6 +659,10 @@ class Data:
   qLD: jax.Array = None           # (nv, nv) dense Cholesky factor
   ten_length: jax.Array = None    # (ntendon,)
   ten_J: jax.Array = None         # (ntendon, nv)
+  flexvert_xpos: jax.Array = None    # (nflexvert, 3)
+  flexedge_length: jax.Array = None  # (nflexedge,)
+  flexedge_J: jax.Array = None       # (nflexedge, nv)
+  flexedge_velocity: jax.Array = None  # (nflexedge,)
   actuator_length: jax.Array = None   # (nu,)
   actuator_moment: jax.Array = None   # (nu, nv)
 
@@ -668,3 +719,6 @@ class Data:
   energy: jax.Array = None        # (2,) potential, kinetic
   solver_fwdinv: jax.Array = None  # (2,)
   solver_niter: jax.Array = None   # () int
+  # per-iteration solver trace: (stat_cap, 3) columns = scaled improvement,
+  # scaled gradient norm, accepted line-search slope (mjSolverStat analog)
+  solver_stat: jax.Array = None

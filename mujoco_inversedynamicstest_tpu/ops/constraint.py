@@ -87,7 +87,11 @@ def row_layout(m: Model) -> RowLayout:
   if not (flags & DisableBit.CONSTRAINT):
     if not (flags & DisableBit.EQUALITY):
       for i in range(m.neq):
-        rows = _EQ_ROWS.get(EqType(m.eq_type[i]))
+        if m.eq_type[i] == EqType.FLEX:
+          # one row per non-rigid edge of the flex (ref :721-745)
+          rows = len(_flex_eq_edges(m, int(m.eq_obj1id[i])))
+        else:
+          rows = _EQ_ROWS.get(EqType(m.eq_type[i]))
         if rows is None:
           raise NotImplementedError(f"equality type {m.eq_type[i]}")
         if m.eq_type[i] == EqType.DISTANCE:
@@ -139,6 +143,13 @@ def collision_stage(m: Model, d: Data) -> Data:
   from mujoco_inversedynamicstest_tpu.ops import collision
 
   return collision.collision(m, d)
+
+
+def _flex_eq_edges(m: Model, f: int) -> np.ndarray:
+  """Static global indices of the non-rigid edges of flex ``f``."""
+  adr, num = int(m.flex_edgeadr[f]), int(m.flex_edgenum[f])
+  local = np.nonzero(~m.flexedge_rigid[adr:adr + num])[0]
+  return (local + adr).astype(np.int32)
 
 
 def _eq_rows(m: Model, d: Data, i: int):
@@ -203,6 +214,14 @@ def _eq_rows(m: Model, d: Data, i: int):
         active,
     )
 
+  if etype == EqType.FLEX:
+    # one row per non-rigid edge: residual = length - length0, Jacobian =
+    # the flex edge Jacobian row (ref mj_instantiateEquality :721-745)
+    edges = _flex_eq_edges(m, o1)
+    J = d.flexedge_J[edges]
+    cpos = d.flexedge_length[edges] - m.flexedge_length0[edges]
+    return J, cpos, active
+
   if etype in (EqType.JOINT, EqType.TENDON):
     # cubic coupling of two scalar positions (ref :640-718); joint uses
     # qpos/qpos0 with a unit dof Jacobian, tendon uses
@@ -264,6 +283,9 @@ def _eq_diag_approx(m: Model, i: int) -> jax.Array:
     if o2 >= 0:
       da = da + m.tendon_invweight0[o2]
     return da[None]
+  if etype == EqType.FLEX:
+    # per-edge invweight (ref mj_diagApprox :1198-1210)
+    return m.flexedge_invweight0[_flex_eq_edges(m, o1)]
   raise NotImplementedError(f"equality type {etype}")
 
 
@@ -506,7 +528,8 @@ def make_constraint(m: Model, d: Data) -> Data:
   row = 0
   for i in range(m.neq) if lay.ne else []:
     etype = EqType(m.eq_type[i])
-    nrows = _EQ_ROWS[etype]
+    nrows = (len(_flex_eq_edges(m, int(m.eq_obj1id[i])))
+             if etype == EqType.FLEX else _EQ_ROWS[etype])
     if etype in (EqType.CONNECT, EqType.WELD):
       blk = math.norm_safe(
           jax.lax.dynamic_slice(efc_pos, (row,), (nrows,))
@@ -587,6 +610,11 @@ def _eq_acc_bias(m: Model, d: Data, lay: RowLayout) -> jax.Array:
   row = 0
   for i in range(m.neq):
     etype = EqType(m.eq_type[i])
+    if etype == EqType.FLEX:
+      # flex edge rows carry no Jdot-qdot correction (ref: aref for flex
+      # equality uses the plain Baumgarte reference, engine_core_constraint)
+      row += len(_flex_eq_edges(m, int(m.eq_obj1id[i])))
+      continue
     nrows = _EQ_ROWS[etype]
     if etype not in (EqType.CONNECT, EqType.WELD):
       row += nrows

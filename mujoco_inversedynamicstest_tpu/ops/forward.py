@@ -34,16 +34,25 @@ from mujoco_inversedynamicstest_tpu.ops import wrap as wrap_mod
 
 
 def fwd_position(m: Model, d: Data) -> Data:
-  """Position-dependent computations (ref ``mj_fwdPosition``:133)."""
-  d = smooth.kinematics(m, d)
-  d = smooth.com_pos(m, d)
-  d = smooth.camlight(m, d)
-  d = smooth.tendon(m, d)
-  d = smooth.crb(m, d)
-  d = smooth.factor_m(m, d)
-  d = constraint_mod.collision_stage(m, d)
-  d = constraint_mod.make_constraint(m, d)
-  d = smooth.transmission(m, d)
+  """Position-dependent computations (ref ``mj_fwdPosition``:133).
+
+  Each stage runs under a ``jax.named_scope`` so XLA traces/profiles show
+  the reference's ``mjtTimer`` stage structure (ref mjdata.h TIMER_POS_*).
+  """
+  with jax.named_scope("kinematics"):
+    d = smooth.kinematics(m, d)
+    d = smooth.com_pos(m, d)
+    d = smooth.camlight(m, d)
+    d = smooth.flex(m, d)
+    d = smooth.tendon(m, d)
+  with jax.named_scope("inertia"):
+    d = smooth.crb(m, d)
+    d = smooth.factor_m(m, d)
+  with jax.named_scope("collision"):
+    d = constraint_mod.collision_stage(m, d)
+  with jax.named_scope("make_constraint"):
+    d = constraint_mod.make_constraint(m, d)
+    d = smooth.transmission(m, d)
   return d
 
 
@@ -51,6 +60,8 @@ def fwd_velocity(m: Model, d: Data) -> Data:
   """Velocity-dependent computations (ref ``mj_fwdVelocity``:193)."""
   if m.ntendon:
     d = d.replace(ten_velocity=d.ten_J @ d.qvel)
+  if m.nflexedge:
+    d = d.replace(flexedge_velocity=d.flexedge_J @ d.qvel)
   if m.nu:
     d = d.replace(actuator_velocity=d.actuator_moment @ d.qvel)
   d = smooth.com_vel(m, d)
@@ -246,17 +257,23 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
 
 def forward(m: Model, d: Data, skip_sensor: bool = False) -> Data:
   """Full forward dynamics (ref ``mj_forward`` = ``mj_forwardSkip(NONE)``)."""
-  d = fwd_position(m, d)
+  with jax.named_scope("position"):
+    d = fwd_position(m, d)
+    if not skip_sensor:
+      d = sensor_mod.sensor_pos(m, d)
+  with jax.named_scope("velocity"):
+    d = fwd_velocity(m, d)
+    if not skip_sensor:
+      d = sensor_mod.sensor_vel(m, d)
+  with jax.named_scope("actuation"):
+    d = fwd_actuation(m, d)
+  with jax.named_scope("acceleration"):
+    d = fwd_acceleration(m, d)
+  with jax.named_scope("constraint_solve"):
+    d = solver_mod.fwd_constraint(m, d)
   if not skip_sensor:
-    d = sensor_mod.sensor_pos(m, d)
-  d = fwd_velocity(m, d)
-  if not skip_sensor:
-    d = sensor_mod.sensor_vel(m, d)
-  d = fwd_actuation(m, d)
-  d = fwd_acceleration(m, d)
-  d = solver_mod.fwd_constraint(m, d)
-  if not skip_sensor:
-    d = sensor_mod.sensor_acc(m, d)
+    with jax.named_scope("sensor_acc"):
+      d = sensor_mod.sensor_acc(m, d)
   return d
 
 

@@ -37,6 +37,7 @@ def inv_position(m: Model, d: Data) -> Data:
   """Position stage of the inverse pipeline (ref ``mj_invPosition``:37)."""
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
+  d = smooth.flex(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   d = smooth.factor_m(m, d)

@@ -241,6 +241,73 @@ def fluid(m: Model, d: Data) -> jax.Array:
   return qfrc.astype(dtype)
 
 
+# local edge -> element-vertex endpoint tables (ref engine_passive.c:39-40)
+_ELEM_EDGES = {2: np.array([[1, 2], [2, 0], [0, 1]]),
+               3: np.array([[0, 1], [1, 2], [2, 0], [2, 3], [0, 3], [1, 3]])}
+
+
+def flex_elasticity(m: Model, d: Data) -> jax.Array:
+  """Flex element elasticity + Rayleigh damping -> generalized force.
+
+  Analog of the element loop in ``mj_passive`` (reference
+  ``engine_passive.c:206-296``): per element, edge elongations (squared
+  lengths, with the discrete Rayleigh term of Kharevych et al.) are
+  contracted with the precomputed metric tensor and distributed to the
+  vertices via the squared-length gradients.  Vectorized per flex over all
+  of its elements; the per-vertex Cartesian forces are projected to dofs
+  with the dense vertex Jacobian (pinned vertices project to zero).
+  """
+  from mujoco_inversedynamicstest_tpu.ops import smooth
+
+  dtype = d.qpos.dtype
+  fvert = jnp.zeros((m.nflexvert, 3), dtype=dtype)
+  for f in range(m.nflex):
+    dim = int(m.flex_dim[f])
+    if dim == 1 or m.flex_rigid[f]:
+      continue
+    sl = slice(int(m.flex_elemadr[f]), int(m.flex_elemadr[f])
+               + int(m.flex_elemnum[f]))
+    # a zero metric contributes exactly zero force, so no per-flex gating
+    # is needed (and none is possible under a traced model)
+    metric = m.flex_metric[sl]
+    ltab = _ELEM_EDGES[dim]
+    nepe = len(ltab)
+    vert_ids = m.flex_elem[sl, :dim + 1]        # (ne, dim+1) static
+    edge_ids = m.flex_elemedge[sl, :nepe]       # (ne, nepe) static
+    x = d.flexvert_xpos[vert_ids]               # (ne, dim+1, 3)
+    grad0 = x[:, ltab[:, 0]] - x[:, ltab[:, 1]]  # gradient at endpoint 0
+    L = d.flexedge_length[edge_ids]
+    L0 = m.flexedge_length0[edge_ids]
+    vel = d.flexedge_velocity[edge_ids]
+    kD = m.flex_damping[f] / m.opt.timestep
+    prev = L - vel * m.opt.timestep
+    elong = L * L - L0 * L0 + (L * L - prev * prev) * kD
+    coef = jnp.einsum("te,tef->tf", elong, metric[:, :nepe, :nepe])
+    f0 = -coef[..., None] * grad0
+    fvert = fvert.at[vert_ids[:, ltab[:, 0]].reshape(-1)].add(
+        f0.reshape(-1, 3))
+    fvert = fvert.at[vert_ids[:, ltab[:, 1]].reshape(-1)].add(
+        -f0.reshape(-1, 3))
+  jacp = smooth.flex_vert_jacp(m, d, d.flexvert_xpos)
+  return jnp.einsum("vnj,vj->n", jacp, fvert)
+
+
+def flex_edge_springdamper(m: Model, d: Data):
+  """Edge-level spring-damper forces (ref ``engine_passive.c:298-336``).
+
+  Returns ``(qfrc_spring_contrib, qfrc_damper_contrib)``; rigid edges and
+  rigid flexes contribute nothing.
+  """
+  edge_flex = np.repeat(np.arange(m.nflex), m.flex_edgenum)
+  mask = jnp.asarray(
+      (~m.flexedge_rigid) & (~m.flex_rigid[edge_flex]), dtype=d.qpos.dtype)
+  k = m.flex_edgestiffness[edge_flex] * mask
+  c = m.flex_edgedamping[edge_flex] * mask
+  frc_spring = k * (m.flexedge_length0 - d.flexedge_length)
+  frc_damper = -c * d.flexedge_velocity
+  return d.flexedge_J.T @ frc_spring, d.flexedge_J.T @ frc_damper
+
+
 def gravcomp(m: Model, d: Data) -> jax.Array:
   """Per-body gravity compensation mapped to joint space.
 
@@ -283,6 +350,18 @@ def passive(m: Model, d: Data) -> Data:
       qfrc_spring = qfrc_spring + d.ten_J.T @ frc_spring
     if not (flags & DisableBit.DAMPER):
       qfrc_damper = qfrc_damper + d.ten_J.T @ frc_damper
+
+  # flex passive forces: element elasticity (into spring, matching the
+  # reference's qfrc_spring accounting) + edge-level spring-dampers
+  if m.nflex:
+    if m.has_flex_elasticity and not (flags & DisableBit.SPRING):
+      qfrc_spring = qfrc_spring + flex_elasticity(m, d)
+    if m.has_flex_edge_sd:
+      fs, fd = flex_edge_springdamper(m, d)
+      if not (flags & DisableBit.SPRING):
+        qfrc_spring = qfrc_spring + fs
+      if not (flags & DisableBit.DAMPER):
+        qfrc_damper = qfrc_damper + fd
 
   qfrc_gravcomp = zero
   if not (flags & DisableBit.GRAVITY):

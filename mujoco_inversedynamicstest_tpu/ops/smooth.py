@@ -234,6 +234,56 @@ def camlight(m: Model, d: Data) -> Data:
       cam_xpos=jnp.stack(xpos_list), cam_xmat=jnp.stack(xmat_list))
 
 
+def flex_vert_jacp(m: Model, d: Data, vert_xpos: jax.Array) -> jax.Array:
+  """Point Jacobians of all flex vertices -> (nflexvert, nv, 3).
+
+  Dense masked form of the per-vertex ``mj_jac`` chain walk (reference
+  ``engine_support.c:389``): pinned vertices sit on bodies whose ancestor
+  dof mask is empty, so their rows are exactly zero — no special casing.
+  """
+  vb = m.flex_vertbodyid
+  mask = jnp.asarray(m.tree.body_dof_mask)[vb].astype(vert_xpos.dtype)
+  offset = vert_xpos[:, None, :] - d.subtree_com[m.body_rootid[vb]][:, None, :]
+  ang = d.cdof[None, :, :3]
+  lin = d.cdof[None, :, 3:]
+  return (lin + jnp.cross(ang, offset)) * mask[..., None]
+
+
+def flex(m: Model, d: Data) -> Data:
+  """Flex vertex positions, edge lengths and edge Jacobians.
+
+  Analog of ``mj_flex`` (reference ``engine_core_smooth.c:442``),
+  vectorized over all vertices/edges of all flexes at once instead of the
+  reference's per-flex loops.  Element AABBs / dynamic BVH are not needed:
+  collision here is static-shape narrowphase (ops/collision.py), not a
+  midphase tree.  The edge Jacobian is the dense row
+  ``u . (jacp(v2) - jacp(v1))`` with ``u`` the unit edge vector
+  (ref :589-617).
+  """
+  if not m.nflex:
+    return d
+  vb = m.flex_vertbodyid
+  centered = jnp.asarray(m.flex_centered[m.flex_vertflexid])[:, None]
+  local = jnp.where(centered, jnp.zeros_like(m.flex_vert), m.flex_vert)
+  xpos = d.xpos[vb] + jnp.einsum("vij,vj->vi", d.xmat[vb], local)
+
+  v1, v2 = m.flex_edge[:, 0], m.flex_edge[:, 1]
+  vec = xpos[v2] - xpos[v1]
+  length = math.norm_safe(vec, axis=1)
+  d = d.replace(flexvert_xpos=xpos, flexedge_length=length)
+
+  # skip the Jacobian when no edge can generate forces (ref :583-586)
+  needs_j = bool(
+      np.any(m.flex_edgeequality & ~m.flex_rigid)
+  ) or m.has_flex_edge_sd or m.has_flex_elasticity
+  if not needs_j:
+    return d
+  u = vec / length[:, None]
+  jacp = flex_vert_jacp(m, d, xpos)
+  J = jnp.einsum("ej,enj->en", u, jacp[v2] - jacp[v1])
+  return d.replace(flexedge_J=J)
+
+
 def com_pos(m: Model, d: Data) -> Data:
   """Subtree CoM, CoM-frame inertias, and CoM-frame dof axes.
 

@@ -52,6 +52,15 @@ class _State(NamedTuple):
   mgrad: jnp.ndarray         # preconditioned gradient
   search: jnp.ndarray
   niter: jnp.ndarray
+  lineslope: jnp.ndarray     # phi'(alpha) at the accepted line-search point
+  stats: jnp.ndarray         # (stat_cap, 3) per-iter improvement/grad/slope
+
+
+def stat_cap(m: Model) -> int:
+  """Static length of the per-iteration solver-stat trace (the analog of
+  the reference's ``mjNSOLVER``-bounded ``mjSolverStat`` array,
+  ``mjdata.h:38`` / ``saveStats`` engine_solver.c:38)."""
+  return max(1, min(int(m.opt.iterations), 32))
 
 
 def _forces_and_cost(m: Model, d: Data, jar: jnp.ndarray):
@@ -79,6 +88,8 @@ def _eval_state(m: Model, d: Data, qacc, with_grad: bool) -> _State:
       prev_cost=jnp.asarray(jnp.inf, dtype=qacc.dtype),
       grad=nv0, mgrad=nv0, search=nv0,
       niter=jnp.asarray(0, dtype=jnp.int32),
+      lineslope=jnp.zeros((), dtype=qacc.dtype),
+      stats=jnp.zeros((stat_cap(m), 3), dtype=qacc.dtype),
   )
   if with_grad:
     st = _refresh_gradient(m, d, st)
@@ -285,6 +296,7 @@ def _linesearch(m: Model, d: Data, st: _State) -> _State:
       qacc=st.qacc + alpha * st.search,
       Ma=st.Ma + alpha * mv,
       jaref=st.jaref + alpha * jv,
+      lineslope=jnp.where(lo.cost < hi.cost, lo.d0, hi.d0) * improved,
   )
 
 
@@ -336,7 +348,18 @@ def solve(m: Model, d: Data) -> Data:
       beta = jnp.dot(st.grad, st.mgrad - prev_mgrad)
       beta = beta / jnp.maximum(_MINVAL, jnp.dot(prev_grad, prev_mgrad))
       search = -st.mgrad + jnp.maximum(0.0, beta) * st.search
-    return st._replace(search=search, niter=st.niter + 1)
+    # per-iteration trace (ref saveStats, engine_solver.c:38): scaled
+    # improvement, scaled gradient norm, accepted line-search slope
+    scale = m.stat_meaninertia * max(1, m.nv)
+    row = jnp.stack([
+        (st.prev_cost - st.cost) / scale,
+        math.norm_safe(st.grad) / scale,
+        st.lineslope / scale,
+    ])[None]
+    slot = jnp.minimum(st.niter, st.stats.shape[0] - 1)
+    stats = jax.lax.dynamic_update_slice(st.stats, row.astype(st.stats.dtype),
+                                         (slot, jnp.zeros_like(slot)))
+    return st._replace(search=search, niter=st.niter + 1, stats=stats)
 
   if m.opt.iterations == 1:
     st = iterate(st)
@@ -349,6 +372,7 @@ def solve(m: Model, d: Data) -> Data:
       qfrc_constraint=st.qfrc_constraint,
       efc_force=st.efc_force,
       solver_niter=st.niter,
+      solver_stat=st.stats,
   )
 
 

@@ -1,0 +1,107 @@
+"""Interactive viewer driver: device-side stepping, host-side rendering.
+
+Analog of the reference's ``python/mujoco/viewer.py`` (``launch_passive``
+:540): visualization stays a host concern (SURVEY §1 L4 maps the viewer to
+delegation), so this module runs the TPU engine's ``step`` in a loop and
+streams each state into a passive ``mujoco.viewer`` handle through
+``models/interop.get_data``.  Nothing here is jitted against wall-clock:
+the device program is the same compiled step used everywhere else.
+
+Usage::
+
+    import mujoco_inversedynamicstest_tpu as mi
+    m = mi.load_model(xml)
+    mi.viewer.launch(m)                    # simulate + render until closed
+    mi.viewer.launch(m, batch, index=3)    # watch lane 3 of a fleet
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+
+from mujoco_inversedynamicstest_tpu.models.types import Data, Model
+from mujoco_inversedynamicstest_tpu.models import interop
+
+
+def launch(
+    m: Model,
+    d: Optional[Data] = None,
+    *,
+    index: Optional[int] = None,
+    ctrl_fn: Optional[Callable[[Data], Data]] = None,
+    realtime: bool = True,
+    max_steps: Optional[int] = None,
+    _headless_smoke: bool = False,
+) -> Data:
+  """Steps the device engine and mirrors the state into the host viewer.
+
+  Args:
+    m: compiled Model (must carry its host source model for interop).
+    d: initial Data (or a vmapped batch, with ``index`` selecting the
+      rendered lane); defaults to ``make_data(m)``.
+    index: lane to render when ``d`` is batched.
+    ctrl_fn: optional per-step callback ``Data -> Data`` run before each
+      step (set ctrl, apply forces — the mjcb_control delegation point).
+    realtime: sleep to track the model timestep (like the reference
+      viewer's speed control); False = run as fast as the device allows.
+    max_steps: stop after this many steps (None = until window closes).
+    _headless_smoke: internal—exercise the loop without opening a window.
+
+  Returns the final Data.
+  """
+  import mujoco
+  import mujoco.viewer
+
+  from mujoco_inversedynamicstest_tpu.models import io as io_mod
+  from mujoco_inversedynamicstest_tpu.ops import forward as forward_mod
+
+  if d is None:
+    d = io_mod.make_data(m)
+
+  batched = d.qpos.ndim == 2
+  if batched and index is None:
+    index = 0
+
+  if batched:
+    step = jax.jit(jax.vmap(lambda dd: forward_mod.step(m, dd)))
+  else:
+    step = jax.jit(lambda dd: forward_mod.step(m, dd))
+
+  src = interop._source(m)
+  mjd = mujoco.MjData(src)
+
+  def sync_into(handle_mjd, d):
+    one = jax.tree.map(lambda x: x[index], d) if batched else d
+    interop.get_data(m, one, mjd=handle_mjd)
+
+  nstep = 0
+  dt = float(m.opt.timestep)
+
+  if _headless_smoke:
+    while max_steps is None or nstep < max_steps:
+      if ctrl_fn is not None:
+        d = ctrl_fn(d)
+      d = step(d)
+      sync_into(mjd, d)
+      nstep += 1
+      if max_steps is None and nstep >= 10:
+        break
+    return d
+
+  with mujoco.viewer.launch_passive(src, mjd) as handle:
+    while handle.is_running() and (max_steps is None or nstep < max_steps):
+      t0 = time.perf_counter()
+      if ctrl_fn is not None:
+        d = ctrl_fn(d)
+      d = step(d)
+      sync_into(mjd, d)
+      handle.sync()
+      nstep += 1
+      if realtime:
+        leftover = dt - (time.perf_counter() - t0)
+        if leftover > 0:
+          time.sleep(leftover)
+  return d

@@ -17,6 +17,19 @@ if "host_platform_device_count" not in flags:
   ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# minutes-scale CI gate: `pytest -m fast` runs the core-parity modules only
+_FAST_MODULES = {
+    "test_forward", "test_smooth", "test_constraint", "test_humanoid",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+  for item in items:
+    mod = getattr(item, "module", None)
+    if mod is not None and mod.__name__ in _FAST_MODULES:
+      item.add_marker(pytest.mark.fast)
 
 # The container's sitecustomize imports jax (registering the remote TPU
 # backend) before this file runs, so the env var alone is not enough.
