@@ -79,6 +79,20 @@ def measure_step_throughput(mi, m, d0):
   return STEP_BATCH * STEP_NSTEP / dt
 
 
+def measure_single_scene_latency(mi, m, d0):
+  """Batch=1 steps/s — the documented accelerator single-scene caveat
+  (reference ``doc/mjx.rst:312-313``: ~10x slower than CPU MuJoCo)."""
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  d = step(d0)
+  d.qpos.block_until_ready()
+  n = 200
+  t0 = time.perf_counter()
+  for _ in range(n):
+    d = step(d)
+  d.qpos.block_until_ready()
+  return n / (time.perf_counter() - t0)
+
+
 def measure_cpu_reference_solve_rate(mjm, horizon, iters, n_alpha):
   """Solves/s of the identical MPC workload via the reference's CPU recipe.
 
@@ -169,8 +183,10 @@ def main():
   d0 = mi.make_data(m)
 
   steps_per_sec = measure_step_throughput(mi, m, d0)
+  single_latency = measure_single_scene_latency(mi, m, d0)
 
   extra = {
+      "single_scene_steps_per_sec": round(single_latency, 1),
       "step_throughput_steps_per_sec_per_chip": round(steps_per_sec, 1),
       "step_throughput_vs_mjx_tpu_v5e_baseline": round(
           steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),

@@ -136,8 +136,10 @@ def get_data(m: Model, d: Data, mjd=None, recompute: bool = True):
   mjd.xquat[:] = np.asarray(d.xquat, dtype=np.float64)
   mjd.xmat[:] = np.asarray(d.xmat, dtype=np.float64).reshape(-1, 9)
   mjd.xipos[:] = np.asarray(d.xipos, dtype=np.float64)
-  mjd.geom_xpos[:] = np.asarray(d.geom_xpos, dtype=np.float64)
-  mjd.geom_xmat[:] = np.asarray(d.geom_xmat, dtype=np.float64).reshape(-1, 9)
+  ng = src.ngeom  # exclude virtual flex-vertex geoms appended past ngeom
+  mjd.geom_xpos[:] = np.asarray(d.geom_xpos, dtype=np.float64)[:ng]
+  mjd.geom_xmat[:] = np.asarray(
+      d.geom_xmat, dtype=np.float64).reshape(-1, 9)[:ng]
   mjd.site_xpos[:] = np.asarray(d.site_xpos, dtype=np.float64)
   mjd.site_xmat[:] = np.asarray(d.site_xmat, dtype=np.float64).reshape(-1, 9)
   mjd.qacc[:] = np.asarray(d.qacc, dtype=np.float64)

@@ -28,6 +28,7 @@ from mujoco_inversedynamicstest_tpu.models.types import (
     EnableBit,
     EqType,
     GainType,
+    GeomType,
     JointType,
     Model,
     ObjType,
@@ -498,6 +499,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       geom_conaffinity=_np(mjm.geom_conaffinity),
       geom_condim=_np(mjm.geom_condim),
       geom_priority=_np(mjm.geom_priority),
+      geom_flexid=np.full(int(mjm.ngeom), -1, np.int32),
       site_pos=_jx(mjm.site_pos, dtype),
       site_quat=_jx(mjm.site_quat, dtype),
       site_size=_jx(mjm.site_size, dtype),
@@ -600,11 +602,80 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       _source=mjm if _keep_source else None,
   )
 
+  if m.nflex:
+    m = _append_flex_geoms(m, mjm, dtype)
+
   # unsupported geom-pair signatures must also fail at load, not at trace
   from mujoco_inversedynamicstest_tpu.ops.collision import contact_layout
 
   contact_layout(m)
   return m
+
+
+def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
+  """Appends one virtual SPHERE collision geom per flex vertex.
+
+  TPU-first re-design of flex collision: the reference narrowphases flex
+  *elements* (triangles/tetrahedra inflated by flex_radius) against geoms
+  through a dynamic BVH midphase (``mj_collideFlexSAP``,
+  ``engine_collision_driver.c:458``).  Here each vertex becomes a static
+  sphere geom of radius ``flex_radius`` attached to the vertex body at the
+  vertex's body-local coordinates — the whole existing static-shape
+  collision pipeline (pair table, broadphase top-k, sphere narrowphase,
+  contact rows, budgeting) then applies unchanged.  For the dense vertex
+  grids flexcomp produces, the union of vertex spheres closely tracks the
+  inflated element surface; contact positions differ from the reference's
+  element-interior contacts (documented approximation).  Same-flex
+  vertex-vertex pairs are excluded (selfcollide="none" is the supported
+  and validated mode).
+  """
+  nvert = m.nflexvert
+  vflex = m.flex_vertflexid
+  contype = m.flex_contype[vflex]
+  conaff = m.flex_conaffinity[vflex]
+  radius = np.asarray(m.flex_radius)[vflex]
+  centered = m.flex_centered[vflex]
+  local = np.where(centered[:, None], 0.0, np.asarray(m.flex_vert))
+
+  cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b, dtype=a.dtype)])
+  catn = np.concatenate
+  size = np.zeros((nvert, 3))
+  size[:, 0] = radius
+  quat = np.tile(np.array([1.0, 0, 0, 0]), (nvert, 1))
+
+  return m.replace(
+      ngeom=m.ngeom + nvert,
+      geom_pos=cat(m.geom_pos, local),
+      geom_quat=cat(m.geom_quat, quat),
+      geom_size=cat(m.geom_size, size),
+      geom_friction=cat(m.geom_friction, np.asarray(m.flex_friction)[vflex]),
+      geom_margin=cat(m.geom_margin, np.asarray(m.flex_margin)[vflex]),
+      geom_gap=cat(m.geom_gap, np.asarray(m.flex_gap)[vflex]),
+      geom_solref=cat(m.geom_solref, np.asarray(m.flex_solref)[vflex]),
+      geom_solimp=cat(m.geom_solimp, np.asarray(m.flex_solimp)[vflex]),
+      geom_solmix=cat(m.geom_solmix, np.asarray(m.flex_solmix)[vflex]),
+      geom_rbound=cat(m.geom_rbound, radius),
+      geom_fluid=cat(m.geom_fluid, np.zeros((nvert, 12))),
+      geom_fluid_active=catn([m.geom_fluid_active, np.zeros(nvert, bool)]),
+      geom_type=catn([m.geom_type,
+                      np.full(nvert, int(GeomType.SPHERE), m.geom_type.dtype)]),
+      geom_dataid=catn([m.geom_dataid,
+                        np.full(nvert, -1, m.geom_dataid.dtype)]),
+      geom_bodyid=catn([m.geom_bodyid,
+                        m.flex_vertbodyid.astype(m.geom_bodyid.dtype)]),
+      geom_group=catn([m.geom_group, np.zeros(nvert, m.geom_group.dtype)]),
+      geom_visible=catn([m.geom_visible, np.zeros(nvert, bool)]),
+      geom_contype=catn([m.geom_contype,
+                         contype.astype(m.geom_contype.dtype)]),
+      geom_conaffinity=catn([m.geom_conaffinity,
+                             conaff.astype(m.geom_conaffinity.dtype)]),
+      geom_condim=catn([m.geom_condim,
+                        m.flex_condim[vflex].astype(m.geom_condim.dtype)]),
+      geom_priority=catn([m.geom_priority,
+                          m.flex_priority[vflex].astype(
+                              m.geom_priority.dtype)]),
+      geom_flexid=catn([m.geom_flexid, vflex.astype(np.int32)]),
+  )
 
 
 def load_model(path_or_xml: str, dtype=None) -> Model:
@@ -723,6 +794,7 @@ def make_data(m: Model, dtype=None) -> Data:
       solver_fwdinv=z(2),
       solver_niter=jnp.asarray(0, dtype=jnp.int32),
       solver_stat=z(solver_mod.stat_cap(m), 3),
+      warning=jnp.zeros(2, dtype=jnp.int32),
   )
 
 

@@ -422,6 +422,9 @@ class Model:
   geom_conaffinity: np.ndarray = static_field(default=None)
   geom_condim: np.ndarray = static_field(default=None)
   geom_priority: np.ndarray = static_field(default=None)
+  # flex id for virtual flex-vertex collision geoms appended past the
+  # source model's ngeom; -1 for real geoms (see io._append_flex_geoms)
+  geom_flexid: np.ndarray = static_field(default=None)
 
   # ------- sites -------
   site_pos: jax.Array = None          # (nsite, 3)
@@ -722,3 +725,6 @@ class Data:
   # per-iteration solver trace: (stat_cap, 3) columns = scaled improvement,
   # scaled gradient norm, accepted line-search slope (mjSolverStat analog)
   solver_stat: jax.Array = None
+  # per-lane warning counters (mjWARN analog, mjdata.h:54):
+  # [0] = bad qpos resets, [1] = bad qvel resets
+  warning: jax.Array = None  # (2,) int32

@@ -166,6 +166,13 @@ def contact_layout(m: Model) -> ContactLayout:
     keep &= ((m.geom_contype[tri1] & m.geom_conaffinity[tri2])
              | (m.geom_contype[tri2] & m.geom_conaffinity[tri1])) != 0
 
+    # same-flex vertex-vertex pairs: self-collision is not simulated
+    # (put_model validates selfcollide="none"; ref mj_collideFlexSAP)
+    if m.geom_flexid is not None and np.any(m.geom_flexid >= 0):
+      f1 = m.geom_flexid[tri1]
+      f2 = m.geom_flexid[tri2]
+      keep &= ~((f1 >= 0) & (f1 == f2))
+
     if len(m.pair_geom1):
       ex1 = np.concatenate([m.pair_geom1, m.pair_geom2]).astype(np.int64)
       ex2 = np.concatenate([m.pair_geom2, m.pair_geom1]).astype(np.int64)

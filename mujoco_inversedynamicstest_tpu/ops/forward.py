@@ -412,9 +412,16 @@ def _check_reset(m: Model, d: Data) -> Data:
   """
   if m.opt.disableflags & DisableBit.AUTORESET:
     return d
-  bad = ~jnp.all(jnp.isfinite(d.qpos)) | jnp.any(jnp.abs(d.qpos) > _MAXVAL)
-  bad |= ~jnp.all(jnp.isfinite(d.qvel)) | jnp.any(jnp.abs(d.qvel) > _MAXVAL)
+  bad_pos = ~jnp.all(jnp.isfinite(d.qpos)) | jnp.any(jnp.abs(d.qpos)
+                                                     > _MAXVAL)
+  bad_vel = ~jnp.all(jnp.isfinite(d.qvel)) | jnp.any(jnp.abs(d.qvel)
+                                                     > _MAXVAL)
+  bad = bad_pos | bad_vel
   rst = lambda x, v: jnp.where(bad, v, x)
+  # per-lane warning counters (mjWARN_BADQPOS/BADQVEL analog, mjdata.h:54):
+  # vmapped lanes each carry their own counts
+  warning = d.warning.at[0].add(bad_pos.astype(d.warning.dtype))
+  warning = warning.at[1].add(bad_vel.astype(d.warning.dtype))
   return d.replace(
       qpos=rst(d.qpos, m.qpos0),
       qvel=rst(d.qvel, jnp.zeros_like(d.qvel)),
@@ -423,6 +430,7 @@ def _check_reset(m: Model, d: Data) -> Data:
       qacc_warmstart=rst(d.qacc_warmstart, jnp.zeros_like(d.qvel)),
       qfrc_applied=rst(d.qfrc_applied, jnp.zeros_like(d.qfrc_applied)),
       xfrc_applied=rst(d.xfrc_applied, jnp.zeros_like(d.xfrc_applied)),
+      warning=warning,
   )
 
 

@@ -116,30 +116,6 @@ class TestFlexElasticity:
     assert np.abs(np.array(d.qpos) - mjd.qpos).max() < 1e-9
 
 
-@pytest.mark.skipif(not os.path.exists(HAMMOCK), reason="no reference tree")
-class TestHammock:
-  """BASELINE config 5 substrate: humanoid dropped onto a flexcomp grid."""
-
-  def test_forward_matches_c(self):
-    mjm, mjd, m, d = _pair(path=HAMMOCK)
-    mujoco.mj_forward(mjm, mjd)
-    df = jax.jit(lambda d: mi.forward(m, d))(d)
-    assert np.abs(
-        np.array(df.flexvert_xpos) - mjd.flexvert_xpos).max() < 1e-12
-    scale = max(1.0, np.abs(mjd.qacc).max())
-    assert np.abs(np.array(df.qacc) - mjd.qacc).max() / scale < 1e-8
-
-  def test_short_trajectory_matches_c(self):
-    # contact-free fall phase (the C engine reports ncon == 0 throughout)
-    mjm, mjd, m, d = _pair(path=HAMMOCK)
-    step = jax.jit(lambda d: mi.step(m, d))
-    for _ in range(50):
-      mujoco.mj_step(mjm, mjd)
-      d = step(d)
-    assert mjd.ncon == 0
-    assert np.abs(np.array(d.qpos) - mjd.qpos).max() < 1e-5
-
-
 class TestSolverStat:
 
   def test_stats_recorded(self):

@@ -1,0 +1,80 @@
+"""Hammock (flexcomp grid + humanoid) — BASELINE config 5 substrate.
+
+Split from test_flex.py so the heavy nv=312 compiles get their own xdist
+worker (pyproject --dist loadfile).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mujoco
+
+import mujoco_inversedynamicstest_tpu as mi
+
+HAMMOCK = "/root/reference/model/hammock/hammock.xml"
+
+
+def _pair(path):
+  mjm = mujoco.MjModel.from_xml_path(path)
+  mjd = mujoco.MjData(mjm)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  return mjm, mjd, m, d
+
+
+@pytest.mark.skipif(not os.path.exists(HAMMOCK), reason="no reference tree")
+class TestHammock:
+  """BASELINE config 5 substrate: humanoid dropped onto a flexcomp grid."""
+
+  def test_forward_matches_c(self):
+    mjm, mjd, m, d = _pair(HAMMOCK)
+    mujoco.mj_forward(mjm, mjd)
+    df = jax.jit(lambda d: mi.forward(m, d))(d)
+    assert np.abs(
+        np.array(df.flexvert_xpos) - mjd.flexvert_xpos).max() < 1e-12
+    scale = max(1.0, np.abs(mjd.qacc).max())
+    assert np.abs(np.array(df.qacc) - mjd.qacc).max() / scale < 1e-8
+
+  def test_short_trajectory_matches_c(self):
+    # contact-free fall phase (the C engine reports ncon == 0 throughout)
+    mjm, mjd, m, d = _pair(HAMMOCK)
+    step = jax.jit(lambda d: mi.step(m, d))
+    for _ in range(50):
+      mujoco.mj_step(mjm, mjd)
+      d = step(d)
+    assert mjd.ncon == 0
+    assert np.abs(np.array(d.qpos) - mjd.qpos).max() < 1e-5
+
+  @pytest.mark.slow
+  def test_contact_phase_catches_humanoid(self):
+    # flex-vertex contact approximation: the hammock must catch the
+    # falling humanoid and settle (floor plane sits at z = -1)
+    mjm, mjd, m, d = _pair(HAMMOCK)
+
+    @jax.jit
+    def roll(d):
+      def body(d, _):
+        return mi.step(m, d), ()
+      d, _ = jax.lax.scan(body, d, None, length=100)
+      return d
+
+    for _ in range(11):  # 1.1 s
+      d = roll(d)
+    assert bool(jnp.all(jnp.isfinite(d.qpos)))
+    assert float(jnp.min(d.flexvert_xpos[:, 2])) > -0.9  # above the floor
+    assert float(jnp.abs(d.qvel).max()) < 10.0           # settled
+
+  def test_vertex_geoms_appended(self):
+    mjm, _, m, _ = _pair(HAMMOCK)
+    assert m.ngeom == mjm.ngeom + mjm.nflexvert
+    assert np.all(m.geom_flexid[mjm.ngeom:] == 0)
+    assert np.all(m.geom_flexid[:mjm.ngeom] == -1)
+    from mujoco_inversedynamicstest_tpu.ops.collision import contact_layout
+    lay = contact_layout(m)
+    assert lay.ncon > 0  # flex-vertex contact slots exist
+
+

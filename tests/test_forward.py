@@ -134,3 +134,26 @@ def test_inverse_discrete_euler():
   np.testing.assert_allclose(out.qfrc_inverse, mjd.qfrc_inverse, atol=1e-9)
   # qacc must be restored after the discrete mapping
   np.testing.assert_allclose(out.qacc, mjd.qacc, atol=1e-12)
+
+
+def test_warning_counters_and_autoreset():
+  """Per-lane warning counters (mjWARN_BADQPOS/BADQVEL analog) increment on
+  masked auto-reset and stay independent across vmapped lanes."""
+  xml = ALL_STEPPABLE["actuated"]
+  m = mi.put_model(mujoco.MjModel.from_xml_string(xml))
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+
+  good = step(d)
+  assert np.array_equal(np.array(good.warning), [0, 0])
+
+  bad = step(d.replace(qpos=d.qpos.at[0].set(jnp.nan)))
+  assert np.array_equal(np.array(bad.warning), [1, 0])
+  assert bool(jnp.all(jnp.isfinite(bad.qpos)))
+
+  batch = jax.vmap(
+      lambda i: d.replace(
+          qvel=jnp.where(i == 1, d.qvel.at[0].set(jnp.inf), d.qvel))
+  )(jnp.arange(3))
+  out = jax.jit(jax.vmap(lambda dd: mi.step(m, dd)))(batch)
+  assert np.array_equal(np.array(out.warning)[:, 1], [0, 1, 0])
