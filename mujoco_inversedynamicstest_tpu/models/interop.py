@@ -136,6 +136,7 @@ def get_data(m: Model, d: Data, mjd=None, recompute: bool = True):
   mjd.xquat[:] = np.asarray(d.xquat, dtype=np.float64)
   mjd.xmat[:] = np.asarray(d.xmat, dtype=np.float64).reshape(-1, 9)
   mjd.xipos[:] = np.asarray(d.xipos, dtype=np.float64)
+  mjd.ximat[:] = np.asarray(d.ximat, dtype=np.float64).reshape(-1, 9)
   ng = src.ngeom  # exclude virtual flex-vertex geoms appended past ngeom
   mjd.geom_xpos[:] = np.asarray(d.geom_xpos, dtype=np.float64)[:ng]
   mjd.geom_xmat[:] = np.asarray(

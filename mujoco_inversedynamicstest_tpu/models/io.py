@@ -202,6 +202,37 @@ def _build_mesh_hulls(mjm):
   return hull_mod.mesh_hulls(mjm)
 
 
+def _build_plugins(mjm, dtype):
+  """Engine plugin instances via the registry (mjpPlugin analog)."""
+  if not getattr(mjm, "nplugin", 0):
+    return ()
+  from mujoco_inversedynamicstest_tpu.plugins import build_instances
+
+  return build_instances(mjm, dtype)
+
+
+def _build_mesh_tris(mjm):
+  """Full-surface triangle vertices per mesh, for ray casting.
+
+  Ray-mesh needs the true (possibly concave) surface; built only when a
+  rangefinder sensor exists (the one consumer).  Mesh canonical frame ==
+  geom frame (the compiler folds mesh_pos/quat into geom_pos/quat).
+  """
+  if mjm.nmesh == 0:
+    return ()
+  if not any(mjm.sensor_type[i] == int(SensorType.RANGEFINDER)
+             for i in range(mjm.nsensor)):
+    return ()
+  tris = []
+  for i in range(mjm.nmesh):
+    va, fa = int(mjm.mesh_vertadr[i]), int(mjm.mesh_faceadr[i])
+    fn = int(mjm.mesh_facenum[i])
+    face = np.array(mjm.mesh_face[fa:fa + fn], dtype=np.int64)
+    vert = np.array(mjm.mesh_vert).reshape(-1, 3)
+    tris.append(np.ascontiguousarray(vert[va + face]))  # (T, 3, 3)
+  return tuple(tris)
+
+
 # sensor types the sensor pipeline implements (ops/sensor.py); anything
 # else must fail at put_model, not at trace time
 _SUPPORTED_SENSORS = frozenset({
@@ -348,8 +379,22 @@ def validate_model(mjm) -> None:
       bad("flex nodal dofs")
     if mjm.flex_selfcollide[f] not in (0,):  # mjFLEXSELF_NONE
       bad("flex self-collision")
+    # the reference generates internal element-vertex contacts whenever a
+    # non-rigid flex is collidable and flex_internal is set (the MJCF
+    # default; ref engine_collision_driver.c:443, user_init.c:232) — this
+    # engine never simulates them, so refuse rather than silently diverge
+    if (mjm.flex_internal[f] and not mjm.flex_rigid[f]
+        and (mjm.flex_contype[f] & mjm.flex_conaffinity[f])):
+      bad("flex internal collisions (set internal='false')")
   if getattr(mjm, "nplugin", 0):
-    bad("engine plugins")
+    # resolvable through the plugin registry (build_instances raises for
+    # unknown names); actually built in put_model
+    from mujoco_inversedynamicstest_tpu.plugins import registry as _preg
+
+    for i in range(int(mjm.nplugin)):
+      name = _preg.plugin_name_at_slot(int(mjm.plugin[i]))
+      if name not in _preg.registered_plugins():
+        bad(f"engine plugin '{name}'")
 
   for i in range(mjm.nsensor):
     try:
@@ -359,6 +404,24 @@ def validate_model(mjm) -> None:
     if t is None or t not in _SUPPORTED_SENSORS:
       name = mujoco.mjtSensor(mjm.sensor_type[i]).name
       bad(f"sensor type {name}")
+    if t in (SensorType.GEOMDIST, SensorType.GEOMNORMAL,
+             SensorType.GEOMFROMTO):
+      # every geom pair the sensor can query must have a supported
+      # narrowphase — otherwise geom_distance would raise at trace time
+      from mujoco_inversedynamicstest_tpu.ops.collision import _PAIR_SLOTS
+
+      def geom_set(ot, oi):
+        if ot == int(ObjType.BODY):
+          return range(int(mjm.body_geomadr[oi]),
+                       int(mjm.body_geomadr[oi]) + int(mjm.body_geomnum[oi]))
+        return [int(oi)]
+
+      for g1 in geom_set(mjm.sensor_objtype[i], mjm.sensor_objid[i]):
+        for g2 in geom_set(mjm.sensor_reftype[i], mjm.sensor_refid[i]):
+          t1, t2 = sorted((int(mjm.geom_type[g1]), int(mjm.geom_type[g2])))
+          if (GeomType(t1), GeomType(t2)) not in _PAIR_SLOTS:
+            bad(f"geomdist sensor over unsupported geom pair "
+                f"{GeomType(t1).name}-{GeomType(t2).name}")
     if t in (SensorType.FRAMEPOS, SensorType.FRAMEQUAT,
              SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS,
              SensorType.FRAMEZAXIS, SensorType.FRAMELINVEL,
@@ -488,6 +551,7 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       geom_solimp=_jx(mjm.geom_solimp, dtype),
       geom_solmix=_jx(mjm.geom_solmix, dtype),
       geom_rbound=_jx(mjm.geom_rbound, dtype),
+      geom_rbound_np=_np(mjm.geom_rbound),
       geom_fluid=_jx(mjm.geom_fluid, dtype),
       geom_fluid_active=_np(mjm.geom_fluid)[:, 0] > 0,
       geom_type=_np(mjm.geom_type),
@@ -590,6 +654,20 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       pair_friction=_jx(mjm.pair_friction, dtype),
       exclude_signature=_np(mjm.exclude_signature),
       mesh_hull=_build_mesh_hulls(mjm),
+      mesh_tris=_build_mesh_tris(mjm),
+      plugin_hooks=_build_plugins(mjm, dtype),
+      nhfield=int(getattr(mjm, "nhfield", 0)),
+      hfield_nrow=_np(mjm.hfield_nrow) if getattr(mjm, "nhfield", 0) else None,
+      hfield_ncol=_np(mjm.hfield_ncol) if getattr(mjm, "nhfield", 0) else None,
+      hfield_size=_np(mjm.hfield_size) if getattr(mjm, "nhfield", 0) else None,
+      hfield_data=tuple(
+          np.array(mjm.hfield_data[
+              int(mjm.hfield_adr[h]):
+              int(mjm.hfield_adr[h])
+              + int(mjm.hfield_nrow[h]) * int(mjm.hfield_ncol[h])],
+              dtype=np.float64).reshape(
+                  int(mjm.hfield_nrow[h]), int(mjm.hfield_ncol[h]))
+          for h in range(int(getattr(mjm, "nhfield", 0)))),
       max_contact_points=_custom_numeric(mjm, "max_contact_points"),
       max_geom_pairs=_custom_numeric(mjm, "max_geom_pairs"),
       has_dof_damping=bool(np.any(_np(mjm.dof_damping) > 0)),
@@ -633,6 +711,28 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
   vflex = m.flex_vertflexid
   contype = m.flex_contype[vflex]
   conaff = m.flex_conaffinity[vflex]
+
+  # the vertex-sphere approximation leaves concave gaps between adjacent
+  # spheres; a geom smaller than the gap can tunnel through an element
+  # interior where the reference's inflated-element narrowphase
+  # (mj_collideFlexSAP, engine_collision_driver.c:458) would contact.
+  # Surface the failure mode at load instead of silently.
+  import warnings
+
+  for f in range(int(mjm.nflex)):
+    if not (mjm.flex_contype[f] & mjm.flex_conaffinity[f]):
+      continue
+    ea, en = int(mjm.flex_edgeadr[f]), int(mjm.flex_edgenum[f])
+    if en == 0:
+      continue
+    max_edge = float(np.max(mjm.flexedge_length0[ea:ea + en]))
+    gap = max_edge / 2.0 - float(mjm.flex_radius[f])
+    if gap > 0:
+      warnings.warn(
+          f"flex {f}: vertex-sphere collision leaves up to {gap:.4g} m "
+          f"concave gaps between adjacent spheres (edge {max_edge:.4g} m, "
+          f"radius {float(mjm.flex_radius[f]):.4g} m); geoms smaller than "
+          "the gap may tunnel through element interiors", stacklevel=3)
   radius = np.asarray(m.flex_radius)[vflex]
   centered = m.flex_centered[vflex]
   local = np.where(centered[:, None], 0.0, np.asarray(m.flex_vert))
@@ -655,6 +755,7 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
       geom_solimp=cat(m.geom_solimp, np.asarray(m.flex_solimp)[vflex]),
       geom_solmix=cat(m.geom_solmix, np.asarray(m.flex_solmix)[vflex]),
       geom_rbound=cat(m.geom_rbound, radius),
+      geom_rbound_np=catn([m.geom_rbound_np, radius]),
       geom_fluid=cat(m.geom_fluid, np.zeros((nvert, 12))),
       geom_fluid_active=catn([m.geom_fluid_active, np.zeros(nvert, bool)]),
       geom_type=catn([m.geom_type,

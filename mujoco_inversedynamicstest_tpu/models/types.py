@@ -579,6 +579,25 @@ class Model:
   exclude_signature: np.ndarray = static_field(default=None)
   # convex hull topology per mesh (ops/hull.HullSpec tuples; static)
   mesh_hull: Tuple = static_field(default=())
+  # full (non-decimated) mesh triangle vertices per mesh, (T, 3, 3) float
+  # arrays in the mesh canonical frame — ray casting needs the true
+  # surface, not the convex hull (ref mj_rayMesh, engine_ray.c:800)
+  mesh_tris: Tuple = static_field(default=())
+  # height fields (ref mjModel hfield_*, mjmodel.h): per-hfield static
+  # grids; heights are compile-time terrain data like hull topology, so
+  # they bake into the collision/ray kernels as constants
+  nhfield: int = static_field(default=0)
+  hfield_nrow: np.ndarray = static_field(default=None)   # (nhfield,)
+  hfield_ncol: np.ndarray = static_field(default=None)   # (nhfield,)
+  hfield_size: np.ndarray = static_field(default=None)   # (nhfield, 4)
+  hfield_data: Tuple = static_field(default=())          # per-hfield (nrow, ncol)
+  # static host copy of geom_rbound for trace-time layout decisions
+  # (hfield subgrid sizing); the jax leaf stays the runtime source
+  geom_rbound_np: np.ndarray = static_field(default=None)
+  # engine plugin instances (plugins/registry.py PluginInstance tuple):
+  # traceable hook closures over static per-instance data — the mjpPlugin
+  # analog (ref include/mujoco/mjplugin.h:77-135)
+  plugin_hooks: Tuple = static_field(default=())
   # contact budgeting (MJX-compatible <numeric> customs; -1 = unlimited,
   # ref mjx/mujoco/mjx/_src/collision_driver.py:336-372)
   max_contact_points: int = static_field(default=-1)

@@ -64,6 +64,13 @@ from mujoco_inversedynamicstest_tpu.ops.collision_sdf import (  # noqa: E402
 _PAIR_SLOTS.update({(GeomType(a), GeomType(b)): v
                     for (a, b), v in _SDF_SLOTS.items()})
 
+# height-field terrain pairs (ops/hfield.py)
+from mujoco_inversedynamicstest_tpu.ops.hfield import (  # noqa: E402
+    HFIELD_SLOTS as _HFIELD_SLOTS,
+)
+
+_PAIR_SLOTS.update(_HFIELD_SLOTS)
+
 # pairs whose kernels need hull topology (grouped per distinct mesh pair)
 _CONVEX_KEYS = {
     (GeomType.PLANE, GeomType.MESH),
@@ -206,6 +213,10 @@ def contact_layout(m: Model) -> ContactLayout:
     if key in _CONVEX_KEYS:
       did1 = int(m.geom_dataid[g1]) if m.geom_type[g1] == GeomType.MESH else -1
       did2 = int(m.geom_dataid[g2]) if m.geom_type[g2] == GeomType.MESH else -1
+    elif GeomType(key[0]) == GeomType.HFIELD:
+      # hfield grids are per-geom static data, like hulls
+      did1 = int(m.geom_dataid[g1])
+      did2 = int(m.geom_dataid[g2]) if m.geom_type[g2] == GeomType.MESH else -1
     else:
       did1 = did2 = -1
     ordered.append((key, did1, did2, g1, g2, ip, condim))
@@ -300,8 +311,10 @@ def geom_distance(m: Model, d: Data, g1: int, g2: int, distmax):
   a, b = (g2, g1) if flip else (g1, g2)
   key = (GeomType(int(m.geom_type[a])), GeomType(int(m.geom_type[b])))
   if key not in _PAIR_SLOTS:
-    return (jnp.asarray(distmax, dtype),
-            jnp.zeros(6, dtype))
+    # loud guard: silently returning (distmax, zeros) would make a
+    # GEOMDIST/GEOMNORMAL/GEOMFROMTO sensor report "no contact" forever
+    raise NotImplementedError(
+        f"geom_distance: unsupported geom pair {key[0].name}-{key[1].name}")
 
   did = lambda g: (int(m.geom_dataid[g])
                    if m.geom_type[g] == GeomType.MESH else -1)
@@ -577,6 +590,10 @@ def _group_narrowphase(m: Model, grp: PairGroup) -> Callable:
   key_int = (int(grp.types[0]), int(grp.types[1]))
   if key_int in _SDF_NARROWPHASE:
     return _SDF_NARROWPHASE[key_int]
+  if GeomType(grp.types[0]) == GeomType.HFIELD:
+    from mujoco_inversedynamicstest_tpu.ops import hfield as hfield_mod
+
+    return hfield_mod.make_narrowphase(m, grp)
 
   from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
 
@@ -705,6 +722,14 @@ def collision(m: Model, d: Data) -> Data:
       if grp.types[0] == GeomType.PLANE:
         n = d.geom_xmat[g1][:, :, 2]
         bdist = jnp.einsum("pi,pi->p", p2 - p1, n) - m.geom_rbound[g2]
+      elif grp.types[0] == GeomType.HFIELD:
+        # terrain bounding sphere from the static hfield extents (the
+        # compiled geom_rbound is 0 for hfields, like planes)
+        s = m.hfield_size[grp.did1]
+        rb1 = float(np.sqrt(s[0] ** 2 + s[1] ** 2
+                            + max(s[2], s[3]) ** 2))
+        bdist = (jnp.linalg.norm(p2 - p1, axis=1)
+                 - rb1 - m.geom_rbound[g2])
       else:
         bdist = (jnp.linalg.norm(p2 - p1, axis=1)
                  - m.geom_rbound[g1] - m.geom_rbound[g2])

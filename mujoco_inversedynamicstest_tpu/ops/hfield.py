@@ -1,0 +1,383 @@
+"""Height-field terrain: collision narrowphase + ray casting.
+
+Capability analog of the reference's HFIELD support — collision dispatch
+row ``mjCOLLISIONFUNC[mjGEOM_HFIELD][*]`` routed through
+``mjc_ConvexHField`` (reference ``engine_collision_convex.c``), and
+``mj_rayHfield`` (reference ``engine_ray.c:453``).
+
+Geometry conventions (identical to the reference): the field spans
+``x ∈ [-size0, size0]`` over ``ncol`` samples and ``y ∈ [-size1, size1]``
+over ``nrow`` samples; ``data[r, c]`` is the normalized height at
+``(x = dx*c - size0, y = dy*r - size1)`` scaled by ``size2``; a base box
+of depth ``size3`` hangs below z=0.  Each grid cell splits into two
+triangles along the (c,r)→(c+1,r+1) diagonal (reference
+``engine_ray.c:539-556`` vertex order).
+
+TPU-first re-design (no prism CCD, no dynamic loops):
+
+* **sphere / capsule** — exact closest-point queries against the top
+  triangles of a *static-size subgrid* of cells under the object (the
+  dynamic cell window is a gather; the window size is a trace-time
+  constant derived from the object's bounding radius).  Penetration sign
+  comes from the triangle's face normal, so resting contacts match the
+  reference's prism CCD results on the contact face.
+* **box / mesh (convex)** — hull-vertex sampling: every hull vertex is
+  tested against the inclined triangle plane directly beneath it, and the
+  4 deepest verts form the manifold (the plane-convex pattern applied to
+  a piecewise-planar floor).  This is an approximation of the reference's
+  per-prism CCD: it cannot produce face-edge contacts against terrain
+  *side* walls, which is documented and acceptable for rolling/resting
+  objects on terrain.
+* **ray** — masked min over *all* top-surface triangles (static shape,
+  one fused kernel) plus the base-box test, exactly the geometric query
+  of ``mj_rayHfield`` without its per-column pruning loop.
+
+Heights are static model data (like hull topology), so all grids enter
+the kernels as compile-time constants.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_inversedynamicstest_tpu.models.types import Data, GeomType, Model
+from mujoco_inversedynamicstest_tpu.ops import math
+
+_BIG = 1e10
+
+
+# ---------------------------------------------------------------------------
+# static grid helpers (host side)
+# ---------------------------------------------------------------------------
+
+
+class HFieldGrid:
+  """Static per-hfield geometry: vertex grid + per-cell triangle tables."""
+
+  def __init__(self, nrow: int, ncol: int, size: np.ndarray,
+               data: np.ndarray):
+    self.nrow, self.ncol = int(nrow), int(ncol)
+    self.size = np.asarray(size, np.float64)
+    self.dx = 2.0 * self.size[0] / (self.ncol - 1)
+    self.dy = 2.0 * self.size[1] / (self.nrow - 1)
+    xs = self.dx * np.arange(self.ncol) - self.size[0]
+    ys = self.dy * np.arange(self.nrow) - self.size[1]
+    z = np.asarray(data, np.float64) * self.size[2]          # (nrow, ncol)
+    # vertex grid (nrow, ncol, 3)
+    self.vert = np.stack(
+        np.broadcast_arrays(xs[None, :], ys[:, None], z), axis=-1)
+
+  def cell_tris(self) -> np.ndarray:
+    """All top triangles, ((nrow-1)*(ncol-1)*2, 3, 3) — ray table.
+
+    Per-cell split matches the reference (engine_ray.c:539-556):
+    tri A = (c,r), (c+1,r+1), (c+1,r); tri B = (c,r), (c+1,r+1), (c,r+1).
+    """
+    v = self.vert
+    v00 = v[:-1, :-1]
+    v10 = v[:-1, 1:]     # +x
+    v01 = v[1:, :-1]     # +y
+    v11 = v[1:, 1:]
+    tri_a = np.stack([v00, v11, v10], axis=2)
+    tri_b = np.stack([v00, v11, v01], axis=2)
+    tris = np.concatenate([tri_a, tri_b], axis=2)            # (R,C,6,... )
+    return tris.reshape(-1, 3, 3)
+
+
+def _grid_of(m: Model, did: int) -> HFieldGrid:
+  return HFieldGrid(m.hfield_nrow[did], m.hfield_ncol[did],
+                    m.hfield_size[did], m.hfield_data[did])
+
+
+def subgrid_cells(grid: HFieldGrid, rbound: float, cap: int = 12
+                  ) -> Tuple[int, int]:
+  """Static (rows, cols) of the cell window under an object of radius
+  ``rbound`` (cf. MJX's subgrid_size, collision_convex.py:1050)."""
+  nc = int(np.ceil(2.0 * rbound / grid.dx)) + 1
+  nr = int(np.ceil(2.0 * rbound / grid.dy)) + 1
+  nc = max(1, min(nc, grid.ncol - 1, cap))
+  nr = max(1, min(nr, grid.nrow - 1, cap))
+  return nr, nc
+
+
+# ---------------------------------------------------------------------------
+# traced helpers
+# ---------------------------------------------------------------------------
+
+
+def _gather_subgrid_tris(grid: HFieldGrid, lpos, nr: int, nc: int, dtype):
+  """Triangles of the (nr, nc)-cell window around local xy ``lpos``.
+
+  Returns (2*nr*nc, 3, 3) triangle vertices (hfield local frame).
+  """
+  vert = jnp.asarray(grid.vert, dtype=dtype)                 # (R, C, 3)
+  # rounded centering: window [cmin, cmin+nc) must cover cf ± r/dx for
+  # any fractional placement (floor alone skews the window half a cell)
+  cmin = jnp.floor((lpos[0] + grid.size[0]) / grid.dx
+                   - 0.5 * nc + 0.5).astype(jnp.int32)
+  rmin = jnp.floor((lpos[1] + grid.size[1]) / grid.dy
+                   - 0.5 * nr + 0.5).astype(jnp.int32)
+  cmin = jnp.clip(cmin, 0, grid.ncol - 1 - nc)
+  rmin = jnp.clip(rmin, 0, grid.nrow - 1 - nr)
+
+  rs = rmin + jnp.arange(nr + 1)
+  cs = cmin + jnp.arange(nc + 1)
+  sub = vert[rs[:, None], cs[None, :]]                       # (nr+1, nc+1, 3)
+
+  v00 = sub[:-1, :-1]
+  v10 = sub[:-1, 1:]
+  v01 = sub[1:, :-1]
+  v11 = sub[1:, 1:]
+  tri_a = jnp.stack([v00, v11, v10], axis=2)
+  tri_b = jnp.stack([v00, v11, v01], axis=2)
+  return jnp.concatenate([tri_a, tri_b], axis=2).reshape(-1, 3, 3)
+
+
+def _tri_normal_up(tv):
+  """Outward (up, +z) unit normal of triangle (3, 3)."""
+  n = jnp.cross(tv[1] - tv[0], tv[2] - tv[0])
+  n = n * jnp.sign(n[2] + 1e-30)
+  return n / jnp.maximum(jnp.linalg.norm(n), 1e-15)
+
+
+def _closest_pt_tri(p, a, b, c):
+  from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+
+  return cc._closest_pt_tri(p, a, b, c)
+
+
+def _select_slots(dist, pos, nrm, nslot: int, margin):
+  """Top-``nslot`` contacts by depth with positional dedup."""
+  dist = jnp.where(dist <= margin, dist, _BIG)
+  _, idx = jax.lax.top_k(-dist, nslot)
+  d = dist[idx]
+  p = pos[idx]
+  n = nrm[idx]
+  # drop duplicates of earlier (deeper) picks: adjacent triangles sharing
+  # the contact edge/vertex produce coincident closest points
+  pd = jnp.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
+  dup = jnp.tril(pd < 1e-7, k=-1).any(axis=1)
+  d = jnp.where(dup, _BIG, d)
+  return d, p, n
+
+
+# ---------------------------------------------------------------------------
+# narrowphase kernel factories (driver signature)
+# ---------------------------------------------------------------------------
+
+
+def make_hfield_sphere(grid: HFieldGrid, nr: int, nc: int):
+  """HFIELD-SPHERE: per-triangle exact closest point, 4 slots."""
+  nslot = 4
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    dtype = p1.dtype
+    lpos = m1.T @ (p2 - p1)
+    r = s2[0]
+    tv = _gather_subgrid_tris(grid, lpos, nr, nc, dtype)
+
+    def one(t):
+      q = _closest_pt_tri(lpos, t[0], t[1], t[2])
+      nf = _tri_normal_up(t)
+      u = lpos - q
+      lu = jnp.linalg.norm(u)
+      sd = jnp.dot(lpos - t[0], nf)      # signed plane distance
+      # closest point in the face interior <=> |u| equals |plane dist|
+      interior = lu - jnp.abs(sd) < 1e-9
+      above = sd >= 0
+      # face-interior: signed penetration along the face normal (handles
+      # centers below the surface).  Edge/vertex region: a contact only
+      # from above — a center below a *neighboring* triangle's plane
+      # extension is not under this triangle (MJX's "cracks of doom"
+      # guard, ref mjx collision_convex.py:1136-1141)
+      n = jnp.where(interior | (lu <= 1e-12), nf,
+                    u / jnp.maximum(lu, 1e-12))
+      dist = jnp.where(interior, sd - r, lu - r)
+      dist = jnp.where(interior | above, dist, _BIG)
+      pos = q + n * (0.5 * dist)
+      return dist, pos, n
+
+    dist, pos, nrm = jax.vmap(one)(tv)
+    d, p, n = _select_slots(dist, pos, nrm, nslot, margin)
+    pos_w = p @ m1.T + p1
+    n_w = n @ m1.T
+    z = jnp.zeros((nslot, 3), dtype=dtype)
+    return d, pos_w, n_w, z
+
+  return fn
+
+
+def make_hfield_capsule(grid: HFieldGrid, nr: int, nc: int):
+  """HFIELD-CAPSULE: segment-vs-triangle closest points, 4 slots."""
+  nslot = 4
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+
+    dtype = p1.dtype
+    lpos = m1.T @ (p2 - p1)
+    laxis = m1.T @ m2[:, 2]
+    r, hl = s2[0], s2[1]
+    e1 = lpos + laxis * hl
+    e2 = lpos - laxis * hl
+    tv = _gather_subgrid_tris(grid, lpos, nr, nc, dtype)
+
+    def one(t):
+      nf = _tri_normal_up(t)
+      # candidates: both endpoints vs triangle + segment vs 3 tri edges
+      qa = _closest_pt_tri(e1, t[0], t[1], t[2])
+      qb = _closest_pt_tri(e2, t[0], t[1], t[2])
+      cands = [(e1, qa), (e2, qb)]
+      for i in range(3):
+        pe, qe = t[i], t[(i + 1) % 3]
+        c1, c2 = cc._closest_seg_seg(e1, e2 - e1, pe, qe - pe)
+        cands.append((c1, c2))
+      ps = jnp.stack([c[0] for c in cands])
+      qs = jnp.stack([c[1] for c in cands])
+      u = ps - qs
+      lu = jnp.linalg.norm(u, axis=1)
+      # per-candidate signed contact distance (face-interior candidates
+      # use the signed plane distance so *penetrating* features win the
+      # argmin — picking by unsigned |u| would prefer the shallow end of
+      # a surface-crossing capsule)
+      sd = (ps - t[0][None]) @ nf
+      interior = lu - jnp.abs(sd) < 1e-9
+      above = sd >= 0
+      dist_c = jnp.where(interior, sd - r,
+                         jnp.where(above, lu - r, _BIG))
+      k = jnp.argmin(dist_c)
+      u_k, q_k, l_k = u[k], qs[k], lu[k]
+      n = jnp.where(interior[k] | (l_k <= 1e-12), nf,
+                    u_k / jnp.maximum(l_k, 1e-12))
+      dist = dist_c[k]
+      pos = q_k + n * (0.5 * dist)
+      return dist, pos, n
+
+    dist, pos, nrm = jax.vmap(one)(tv)
+    d, p, n = _select_slots(dist, pos, nrm, nslot, margin)
+    pos_w = p @ m1.T + p1
+    n_w = n @ m1.T
+    z = jnp.zeros((nslot, 3), dtype=dtype)
+    return d, pos_w, n_w, z
+
+  return fn
+
+
+def make_hfield_convex(grid: HFieldGrid, spec2, is_box2: bool):
+  """HFIELD-{BOX,MESH}: hull-vertex vs local triangle plane, 4 slots.
+
+  Every hull vertex samples the inclined triangle plane directly beneath
+  its (x, y); the 4 deepest verts below margin survive (plane-convex
+  pattern on a piecewise-planar floor).  Documented approximation of the
+  reference's per-prism CCD (no terrain side-wall contacts).
+  """
+  from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+
+  nslot = 4
+  vert_g = jnp.asarray(grid.vert)                            # (R, C, 3)
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    dtype = p1.dtype
+    vg = vert_g.astype(dtype)
+    vert_l = jnp.asarray(spec2.vert, dtype=dtype)
+    if is_box2:
+      vert_l = vert_l * s2
+    # hull verts in hfield frame
+    hv = (vert_l @ m2.T + p2 - p1) @ m1                      # (V, 3)
+
+    def sd_at(v):
+      cf = (v[0] + grid.size[0]) / grid.dx
+      rf = (v[1] + grid.size[1]) / grid.dy
+      ci = jnp.clip(jnp.floor(cf).astype(jnp.int32), 0, grid.ncol - 2)
+      ri = jnp.clip(jnp.floor(rf).astype(jnp.int32), 0, grid.nrow - 2)
+      fx = cf - ci
+      fy = rf - ri
+      v00 = vg[ri, ci]
+      v10 = vg[ri, ci + 1]
+      v01 = vg[ri + 1, ci]
+      v11 = vg[ri + 1, ci + 1]
+      # diagonal (c,r)->(c+1,r+1): fx>=fy picks triangle A (third vert +x)
+      third = jnp.where(fx >= fy, v10, v01)
+      t0, t1, t2 = v00, v11, third
+      nf = _tri_normal_up(jnp.stack([t0, t1, t2]))
+      sd = jnp.dot(v - t0, nf)
+      inside = ((jnp.abs(v[0]) <= grid.size[0] + 0.5 * grid.dx)
+                & (jnp.abs(v[1]) <= grid.size[1] + 0.5 * grid.dy))
+      return jnp.where(inside, sd, _BIG), nf
+
+    sd, nf = jax.vmap(sd_at)(hv)
+    neg = jnp.where(sd <= margin, sd, _BIG)
+    _, idx = jax.lax.top_k(-neg, nslot)
+    dist = jnp.where(neg[idx] < _BIG, sd[idx], _BIG)
+    n_l = nf[idx]
+    pos_l = hv[idx] - n_l * (dist[:, None] * 0.5)
+    pos_w = pos_l @ m1.T + p1
+    n_w = n_l @ m1.T
+    z = jnp.zeros((nslot, 3), dtype=dtype)
+    return dist, pos_w, n_w, z
+
+  return fn
+
+
+# slot counts for the collision driver's pair table
+HFIELD_SLOTS = {
+    (GeomType.HFIELD, GeomType.SPHERE): 4,
+    (GeomType.HFIELD, GeomType.CAPSULE): 4,
+    (GeomType.HFIELD, GeomType.BOX): 4,
+    (GeomType.HFIELD, GeomType.MESH): 4,
+}
+
+
+def make_narrowphase(m: Model, grp) -> "Callable":
+  """Resolves the kernel for an (HFIELD, other) pair group."""
+  did = grp.did1
+  grid = _grid_of(m, did)
+  t2 = grp.types[1]
+  if t2 == GeomType.SPHERE or t2 == GeomType.CAPSULE:
+    rb = float(np.max(m.geom_rbound_np[np.asarray(grp.geom2)]))
+    nr, nc = subgrid_cells(grid, rb)
+    if t2 == GeomType.SPHERE:
+      return make_hfield_sphere(grid, nr, nc)
+    return make_hfield_capsule(grid, nr, nc)
+  if t2 == GeomType.BOX:
+    from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+
+    return make_hfield_convex(grid, cc.BOX_HULL, True)
+  if t2 == GeomType.MESH:
+    return make_hfield_convex(grid, m.mesh_hull[grp.did2], False)
+  raise NotImplementedError(
+      f"collision pair HFIELD-{GeomType(t2).name} not yet supported")
+
+
+# ---------------------------------------------------------------------------
+# ray casting
+# ---------------------------------------------------------------------------
+
+
+def ray_hfield(m: Model, d: Data, g: int, pnt, vec) -> jax.Array:
+  """Ray vs height field (analog ``mj_rayHfield``, ref engine_ray.c:453).
+
+  Masked min over all top triangles + the base box below z=0; returns
+  +inf on miss (the caller's ``ray`` converts to the -1 convention).
+  """
+  from mujoco_inversedynamicstest_tpu.ops import ray as ray_mod
+
+  did = int(m.geom_dataid[g])
+  grid = _grid_of(m, did)
+  dtype = pnt.dtype
+  pos, mat = d.geom_xpos[g], d.geom_xmat[g]
+
+  # base box below z=0 (side/bottom hits; ref :468-484)
+  base_size = jnp.asarray(
+      [grid.size[0], grid.size[1], grid.size[3] * 0.5], dtype)
+  base_pos = pos - mat[:, 2] * (grid.size[3] * 0.5)
+  x_base = ray_mod._ray_box(base_pos, mat, base_size, pnt, vec)
+
+  lpnt, lvec = ray_mod._ray_map(pos, mat, pnt, vec)
+  tris = jnp.asarray(grid.cell_tris(), dtype=dtype)
+  x_top = jnp.min(ray_mod._ray_triangles(tris, lpnt, lvec))
+  return jnp.minimum(x_base, x_top)

@@ -379,6 +379,13 @@ def passive(m: Model, d: Data) -> Data:
 
   qfrc_passive = qfrc_spring + qfrc_damper + qfrc_fluid
 
+  # engine plugin hooks (mjPLUGIN_PASSIVE compute point; the reference
+  # dispatches registered plugins inside mj_passive, engine_plugin.cc)
+  for hook in m.plugin_hooks:
+    contrib = hook.passive(m, d)
+    if contrib is not None:
+      qfrc_passive = qfrc_passive + contrib
+
   # gravcomp enters qfrc_passive only for joints not flagged actgravcomp
   # (those are added to qfrc_actuator instead; ref engine_passive.c:489).
   mask = np.ones(m.nv, dtype=bool)

@@ -155,6 +155,42 @@ def _ray_box(pos, mat, size, pnt, vec):
   return jnp.where(jnp.isfinite(bound), x, _INF)
 
 
+def _ray_triangles(tv, lpnt, lvec):
+  """Batched Möller–Trumbore ray-triangle; tv is (T, 3, 3) local verts.
+
+  Returns the per-triangle hit parameter (+inf where missed).  Same
+  surface query as the reference's ``ray_triangle`` (ref engine_ray.c:35)
+  in its barycentric form — evaluated for ALL triangles at once (the TPU
+  replacement for the BVH walk of ``mju_rayTree``)."""
+  eps = jnp.asarray(1e-12, lpnt.dtype)
+  v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
+  e1 = v1 - v0
+  e2 = v2 - v0
+  h = jnp.cross(jnp.broadcast_to(lvec, e2.shape), e2)
+  a = jnp.einsum("td,td->t", e1, h)
+  f = 1.0 / jnp.where(jnp.abs(a) < eps, 1.0, a)
+  s = lpnt - v0
+  u = f * jnp.einsum("td,td->t", s, h)
+  q = jnp.cross(s, e1)
+  v = f * (q @ lvec)
+  t = f * jnp.einsum("td,td->t", e2, q)
+  ok = ((jnp.abs(a) >= eps) & (u >= 0) & (v >= 0) & (u + v <= 1.0)
+        & (t >= 0))
+  return jnp.where(ok, t, _INF)
+
+
+def _ray_mesh(tv_const, pos, mat, size, pnt, vec):
+  """Ray vs one mesh geom (analog ``mj_rayMesh``, ref engine_ray.c:800).
+
+  ``tv_const`` is the static (T, 3, 3) canonical-frame triangle table of
+  the geom's mesh (full surface, not the collision hull)."""
+  bound = _ray_box(pos, mat, size, pnt, vec)
+  lpnt, lvec = _ray_map(pos, mat, pnt, vec)
+  tv = jnp.asarray(tv_const, dtype=pnt.dtype)
+  x = jnp.min(_ray_triangles(tv, lpnt, lvec))
+  return jnp.where(jnp.isfinite(bound), x, _INF)
+
+
 _RAY_FUNC = {
     GeomType.PLANE: _ray_plane,
     GeomType.SPHERE: _ray_sphere,
@@ -198,6 +234,26 @@ def ray(m: Model, d: Data, pnt: jax.Array, vec: jax.Array,
   dists, ids = [], []
   for t in sorted(set(int(m.geom_type[g]) for g in candidates)):
     gids = candidates[m.geom_type[candidates] == t]
+    if GeomType(t) == GeomType.MESH:
+      # per-geom topology: one masked-min triangle sweep per mesh geom
+      for g in gids:
+        did = int(m.geom_dataid[g])
+        if not m.mesh_tris:
+          raise NotImplementedError(
+              "ray vs MESH requires mesh_tris (built when the model has a "
+              "rangefinder; rebuild via put_model)")
+        dists.append(_ray_mesh(
+            m.mesh_tris[did], d.geom_xpos[g], d.geom_xmat[g],
+            m.geom_size[g], pnt, vec)[None])
+        ids.append(np.array([g]))
+      continue
+    if GeomType(t) == GeomType.HFIELD:
+      from mujoco_inversedynamicstest_tpu.ops import hfield as hfield_mod
+
+      for g in gids:
+        dists.append(hfield_mod.ray_hfield(m, d, int(g), pnt, vec)[None])
+        ids.append(np.array([g]))
+      continue
     if GeomType(t) not in _RAY_FUNC:
       raise NotImplementedError(f"ray vs geom type {GeomType(t).name}")
     fn = _RAY_FUNC[GeomType(t)]

@@ -122,7 +122,15 @@ def _refresh_gradient(m: Model, d: Data, st: _State) -> _State:
           ct.rmask, grad.dtype)[:, :, None]           # (nes, 6, nv)
       hess = hess + jnp.einsum('eiv,eij,ejw->vw', Jc, Hc, Jc)
     chol = linalg.chol_factor(hess)
-    mgrad = linalg.chol_solve(chol, grad)
+    mgrad_n = linalg.chol_solve(chol, grad)
+    # f32 robustness: a near-singular Hessian can produce a non-finite
+    # factor (sqrt of a rounding-negative pivot).  The reference's
+    # mju_cholFactor clamps such pivots to mjMINVAL and proceeds
+    # (engine_util_solve.c:32); here the equivalent recovery is falling
+    # back to the always-SPD mass-matrix preconditioner for this iterate
+    # — still a descent direction, never NaN.
+    ok = jnp.all(jnp.isfinite(mgrad_n))
+    mgrad = jnp.where(ok, mgrad_n, smooth.solve_m(m, d, grad))
   else:
     mgrad = smooth.solve_m(m, d, grad)
   return st._replace(grad=grad, mgrad=mgrad)
@@ -356,9 +364,14 @@ def solve(m: Model, d: Data) -> Data:
         math.norm_safe(st.grad) / scale,
         st.lineslope / scale,
     ])[None]
-    slot = jnp.minimum(st.niter, st.stats.shape[0] - 1)
-    stats = jax.lax.dynamic_update_slice(st.stats, row.astype(st.stats.dtype),
-                                         (slot, jnp.zeros_like(slot)))
+    # past the trace capacity the write becomes a no-op (the reference's
+    # saveStats likewise stops recording at its bound rather than
+    # overwriting the tail row, engine_solver.c:38)
+    cap = st.stats.shape[0]
+    slot = jnp.minimum(st.niter, cap - 1)
+    updated = jax.lax.dynamic_update_slice(
+        st.stats, row.astype(st.stats.dtype), (slot, jnp.zeros_like(slot)))
+    stats = jnp.where(st.niter < cap, updated, st.stats)
     return st._replace(search=search, niter=st.niter + 1, stats=stats)
 
   if m.opt.iterations == 1:

@@ -314,7 +314,12 @@ def ilqr(m: Model, cost: CostFn, d0: Data, us_init: jax.Array,
         m, cfg, cost, d0, xs, us, ks, Ks, u_lo, u_hi
     )
 
-    improved = c_new < c_prev - cfg.tol_cost
+    # non-finite guard: a NaN/Inf c_new never replaces the incumbent, and
+    # a non-finite incumbent (diverged initial rollout) is replaced by ANY
+    # finite plan — without this a NaN cost0 poisons every iteration
+    # (NaN comparisons are False, so improvement can never fire)
+    improved = jnp.isfinite(c_new) & (
+        (c_new < c_prev - cfg.tol_cost) | ~jnp.isfinite(c_prev))
     # on improvement decrease reg, else increase and keep the trajectory
     reg_next = jnp.where(
         improved,

@@ -138,8 +138,13 @@ class NorthStarResult(NamedTuple):
   n_solves: int
   wall_time_s: float
   compile_time_s: float
-  plan_cost_mean: float
+  plan_cost_mean: float          # over FINITE lanes (the quality signal)
   run: mpc_mod.MPCRun            # for downstream parity checks
+  # solve-quality diagnostics (VERDICT r2: the throughput number is only
+  # trustworthy alongside these)
+  finite_lane_fraction: float = float("nan")  # lanes with finite plan cost
+  mean_iterations: float = float("nan")       # iLQR iterations per solve
+  solve_latency_s: float = float("nan")       # wall seconds per solve
 
 
 def measure_solves_per_sec(m: Model, cost, d0: Data,
@@ -159,13 +164,21 @@ def measure_solves_per_sec(m: Model, cost, d0: Data,
   dt = time.perf_counter() - t0
 
   n_solves = cfg.fleet * cfg.n_replan
+  costs = np.asarray(out.plan_costs)
+  finite = np.isfinite(costs)
   return NorthStarResult(
       solves_per_sec=n_solves / dt,
       n_solves=n_solves,
       wall_time_s=dt,
       compile_time_s=compile_time,
-      plan_cost_mean=float(jnp.mean(out.plan_costs)),
+      plan_cost_mean=float(costs[finite].mean()) if finite.any()
+      else float("nan"),
       run=out,
+      finite_lane_fraction=float(finite.mean()),
+      mean_iterations=float(np.asarray(out.niters).mean()),
+      # the whole fleet progresses in lockstep, so each solve's latency is
+      # the batch wall time per replan cycle
+      solve_latency_s=dt / cfg.n_replan,
   )
 
 

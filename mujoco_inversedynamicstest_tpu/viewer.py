@@ -91,17 +91,37 @@ def launch(
         break
     return d
 
+  # render/sync at display rate, stepping physics multiple times per frame
+  # to catch up with wall clock (the reference viewer's pattern: its
+  # physics loop advances `elapsed/timestep` steps per UI frame) — with
+  # 1-2 ms timesteps a sync-per-step loop would attempt 500-1000 Hz GUI
+  # updates and fall behind realtime
+  frame_dt = 1.0 / 60.0
   with mujoco.viewer.launch_passive(src, mjd) as handle:
+    sim_ahead = 0.0  # simulated seconds minus wall seconds
+    t_prev = time.perf_counter()
     while handle.is_running() and (max_steps is None or nstep < max_steps):
-      t0 = time.perf_counter()
-      if ctrl_fn is not None:
-        d = ctrl_fn(d)
-      d = step(d)
+      now = time.perf_counter()
+      if realtime:
+        sim_ahead -= now - t_prev
+        t_prev = now
+        # never fall more than one frame behind (avoid spiral of death)
+        sim_ahead = max(sim_ahead, -frame_dt)
+        n_sub = max(1, int(-sim_ahead / dt) + 1) if sim_ahead < 0 else 0
+      else:
+        n_sub = max(1, int(frame_dt / dt))
+      for _ in range(n_sub):
+        if max_steps is not None and nstep >= max_steps:
+          break
+        if ctrl_fn is not None:
+          d = ctrl_fn(d)
+        d = step(d)
+        nstep += 1
+        sim_ahead += dt
       sync_into(mjd, d)
       handle.sync()
-      nstep += 1
       if realtime:
-        leftover = dt - (time.perf_counter() - t0)
+        leftover = frame_dt - (time.perf_counter() - now)
         if leftover > 0:
           time.sleep(leftover)
   return d

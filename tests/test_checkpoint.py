@@ -1,0 +1,121 @@
+"""Checkpoint/resume round-trip tests (SURVEY §5 persistence).
+
+The bar (VERDICT r2 item 9): save (Model, fleet Data, MPCCarry) mid-MPC,
+restore into a fresh process-state, and continue *bit-exactly* — the same
+jitted program applied to bit-equal inputs yields bit-equal outputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mujoco_inversedynamicstest_tpu as mi
+from mujoco_inversedynamicstest_tpu.opt import mpc as mpc_mod
+from mujoco_inversedynamicstest_tpu.opt.ilqr import ILQRConfig
+from mujoco_inversedynamicstest_tpu.opt import northstar
+from mujoco_inversedynamicstest_tpu.utils import checkpoint as ckpt
+
+from models import PENDULUM
+
+ARM = """
+<mujoco>
+  <option timestep="0.01"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="j0" type="hinge" axis="0 1 0" damping="0.15"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.25 0 0" mass="0.6"/>
+      <body pos="0.25 0 0">
+        <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.2 0 0" mass="0.4"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="j0" gear="1" ctrlrange="-3 3"/>
+    <motor joint="j1" gear="1" ctrlrange="-3 3"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_data_roundtrip_bitexact(tmp_path):
+  """A stepped Data pytree survives save/restore bit-exactly."""
+  mjm = mujoco.MjModel.from_xml_string(PENDULUM)
+  m = mi.put_model(mjm)
+  d = mi.make_data(m).replace(qvel=jnp.asarray([0.3] * mjm.nv))
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(5):
+    d = step(d)
+
+  ckpt.save(str(tmp_path / "c"), m, d)
+  m2 = ckpt.load_model(str(tmp_path / "c"))
+  d2 = ckpt.restore(str(tmp_path / "c"), mi.make_data(m2))
+
+  for (p1, a), (_, b) in zip(
+      jax.tree_util.tree_flatten_with_path(d)[0],
+      jax.tree_util.tree_flatten_with_path(d2)[0],
+  ):
+    np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b), err_msg=str(p1))
+
+  # ...and the restored model steps it to the identical next state
+  d_a = step(d)
+  d_b = jax.jit(lambda dd: mi.step(m2, dd))(d2)
+  np.testing.assert_array_equal(np.asarray(d_a.qpos), np.asarray(d_b.qpos))
+  np.testing.assert_array_equal(np.asarray(d_a.qvel), np.asarray(d_b.qvel))
+
+
+def test_mpc_resume_bitexact(tmp_path):
+  """Resuming a fleet MPC from a checkpoint = running it uninterrupted."""
+  mjm = mujoco.MjModel.from_xml_string(ARM)
+  m = mi.put_model(mjm)
+  d0 = mi.make_data(m)
+  cost = northstar.balance_cost(m, w_root=0.0)
+  cfg = mpc_mod.MPCConfig(
+      horizon=8, ilqr=ILQRConfig(iterations=2, n_alpha=3), n_apply=1)
+  fleet = 3
+  rng = np.random.RandomState(2)
+  qpos = jnp.asarray(0.2 * rng.randn(fleet, m.nq))
+  batch = jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
+
+  one_cycle = jax.jit(jax.vmap(
+      lambda c: mpc_mod.mpc_step(m, cost, c, cfg).carry))
+
+  warm = jax.vmap(lambda _: mpc_mod.make_warm_start(m, cfg.horizon))(
+      jnp.arange(fleet))
+  carry = mpc_mod.MPCCarry(d=batch, us_warm=warm)
+
+  # uninterrupted: 2 cycles
+  ref = one_cycle(one_cycle(carry))
+
+  # interrupted: 1 cycle, checkpoint, restore, 1 cycle
+  mid = one_cycle(carry)
+  ckpt.save(str(tmp_path / "mpc"), m, mid)
+  m2 = ckpt.load_model(str(tmp_path / "mpc"))
+  template = mpc_mod.MPCCarry(
+      d=jax.vmap(lambda q: mi.make_data(m2).replace(qpos=q))(qpos),
+      us_warm=warm,
+  )
+  resumed_carry = ckpt.restore(str(tmp_path / "mpc"), template)
+  res = jax.jit(jax.vmap(
+      lambda c: mpc_mod.mpc_step(m2, cost, c, cfg).carry))(resumed_carry)
+
+  np.testing.assert_array_equal(
+      np.asarray(ref.d.qpos), np.asarray(res.d.qpos))
+  np.testing.assert_array_equal(
+      np.asarray(ref.d.qvel), np.asarray(res.d.qvel))
+  np.testing.assert_array_equal(
+      np.asarray(ref.us_warm), np.asarray(res.us_warm))
+
+
+def test_restore_strict_shape_mismatch(tmp_path):
+  mjm = mujoco.MjModel.from_xml_string(PENDULUM)
+  m = mi.put_model(mjm)
+  d = mi.make_data(m)
+  ckpt.save(str(tmp_path / "c"), m, {"qpos": d.qpos})
+  with pytest.raises(ValueError, match="shape"):
+    ckpt.restore(str(tmp_path / "c"), {"qpos": jnp.zeros(m.nq + 1)})
+  with pytest.raises(KeyError):
+    ckpt.restore(str(tmp_path / "c"), {"other": d.qpos})

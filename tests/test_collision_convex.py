@@ -48,7 +48,7 @@ def _c_contacts(mjm, mjd):
 
 
 def _match(ours, ref, atol=1e-6, require_all=True):
-  """每 C contact must have an exact counterpart in ours (pos/dist/normal)."""
+  """Every C contact must have an exact counterpart in ours (pos/dist/normal)."""
   used = set()
   for dist, pos, nrm, g1, g2 in ref:
     found = False
