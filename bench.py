@@ -278,9 +278,24 @@ def main():
       "rollouts_in_flight": NS_FLEET * NS_ALPHA,
   }
 
+  try:
+    extra["stage_time_fractions"] = measure_stage_breakdown(mi, m, d0)
+  except Exception as e:  # auxiliary; never sink the bench
+    extra["stage_time_error"] = repr(e)[:120]
+
+  try:
+    h100 = measure_humanoid100(mi)
+    if h100 is not None:
+      extra["humanoid100_steps_per_sec_per_chip"] = round(h100, 1)
+  except Exception as e:
+    extra["humanoid100_error"] = repr(e)[:120]
+
   cfg, res = measure_north_star(mi, m, d0)
   extra["mpc_compile_time_s"] = round(res.compile_time_s, 2)
   extra["mpc_plan_cost_mean"] = round(res.plan_cost_mean, 4)
+  extra["finite_lane_fraction"] = round(res.finite_lane_fraction, 4)
+  extra["mpc_mean_iterations"] = round(res.mean_iterations, 3)
+  extra["mpc_solve_latency_s"] = round(res.solve_latency_s, 3)
 
   try:
     err = measure_torque_parity(mjm, res.run.us[0])

@@ -48,8 +48,16 @@ def _np(x) -> np.ndarray:
   return np.array(x)
 
 
-def _jx(x, dtype) -> jax.Array:
-  return jnp.asarray(np.array(x), dtype=dtype)
+def _jx(x, dtype) -> np.ndarray:
+  """Numeric model leaf: HOST numpy, not a device array.
+
+  Model leaves are closure constants of every jitted step — as device
+  arrays, MLIR lowering must fetch each one back from the device to embed
+  it (~1s per constant through a remote-TPU tunnel; measured 56s of a 62s
+  humanoid step trace).  As numpy they embed zero-copy, and XLA stages
+  them to the device with the executable exactly as before.
+  """
+  return np.asarray(np.array(x), dtype=np.dtype(dtype))
 
 
 def build_tree_layout(
@@ -147,17 +155,18 @@ def _geom_visible(mjm) -> np.ndarray:
 
 
 def put_option(mj_opt, dtype) -> Option:
+  scal = lambda v: np.asarray(v, dtype=np.dtype(dtype))
   return Option(
-      timestep=jnp.asarray(mj_opt.timestep, dtype=dtype),
+      timestep=scal(mj_opt.timestep),
       gravity=_jx(mj_opt.gravity, dtype),
       wind=_jx(mj_opt.wind, dtype),
       magnetic=_jx(mj_opt.magnetic, dtype),
-      density=jnp.asarray(mj_opt.density, dtype=dtype),
-      viscosity=jnp.asarray(mj_opt.viscosity, dtype=dtype),
-      impratio=jnp.asarray(mj_opt.impratio, dtype=dtype),
-      tolerance=jnp.asarray(mj_opt.tolerance, dtype=dtype),
-      ls_tolerance=jnp.asarray(mj_opt.ls_tolerance, dtype=dtype),
-      noslip_tolerance=jnp.asarray(mj_opt.noslip_tolerance, dtype=dtype),
+      density=scal(mj_opt.density),
+      viscosity=scal(mj_opt.viscosity),
+      impratio=scal(mj_opt.impratio),
+      tolerance=scal(mj_opt.tolerance),
+      ls_tolerance=scal(mj_opt.ls_tolerance),
+      noslip_tolerance=scal(mj_opt.noslip_tolerance),
       integrator=int(mj_opt.integrator),
       cone=int(mj_opt.cone),
       solver=int(mj_opt.solver),
@@ -642,7 +651,8 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       sensor_needstage=_np(mjm.sensor_needstage),
       qpos0=_jx(mjm.qpos0, dtype),
       qpos_spring=_jx(mjm.qpos_spring, dtype),
-      stat_meaninertia=jnp.asarray(mjm.stat.meaninertia, dtype=dtype),
+      stat_meaninertia=np.asarray(mjm.stat.meaninertia,
+                                  dtype=np.dtype(dtype)),
       pair_dim=_np(mjm.pair_dim),
       pair_geom1=_np(mjm.pair_geom1),
       pair_geom2=_np(mjm.pair_geom2),
@@ -737,7 +747,8 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
   centered = m.flex_centered[vflex]
   local = np.where(centered[:, None], 0.0, np.asarray(m.flex_vert))
 
-  cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b, dtype=a.dtype)])
+  cat = lambda a, b: np.concatenate(
+      [np.asarray(a), np.asarray(b, dtype=np.asarray(a).dtype)])
   catn = np.concatenate
   size = np.zeros((nvert, 3))
   size[:, 0] = radius
@@ -802,42 +813,46 @@ def make_data(m: Model, dtype=None) -> Data:
   from mujoco_inversedynamicstest_tpu.ops import solver as solver_mod
 
   dtype = dtype or m.dtype
-  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  # build on host, ship in ONE batched transfer: per-leaf device
+  # allocations cost an RPC each through a remote-TPU tunnel (measured
+  # 21 s for the ~70 leaves of the humanoid Data)
+  npdt = np.dtype(dtype)
+  z = lambda *shape: np.zeros(shape, dtype=npdt)
   lay = row_layout(m)
 
   nbody, nv, nq = m.nbody, m.nv, m.nq
-  identity_quat = jnp.tile(
-      jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype), (nbody, 1)
+  identity_quat = np.tile(
+      np.asarray([1.0, 0.0, 0.0, 0.0], dtype=npdt), (nbody, 1)
   )
 
-  return Data(
-      time=jnp.asarray(0.0, dtype=dtype),
-      qpos=jnp.asarray(m.qpos0, dtype=dtype),
+  data = Data(
+      time=np.asarray(0.0, dtype=npdt),
+      qpos=np.asarray(m.qpos0, dtype=npdt),
       qvel=z(nv),
       act=z(m.na),
       ctrl=z(m.nu),
       qfrc_applied=z(nv),
       xfrc_applied=z(nbody, 6),
-      eq_active=jnp.asarray(m.eq_active0.astype(bool))
-      if m.neq else jnp.zeros((0,), dtype=bool),
+      eq_active=np.asarray(m.eq_active0, dtype=bool)
+      if m.neq else np.zeros((0,), dtype=bool),
       mocap_pos=z(m.nmocap, 3),
-      mocap_quat=jnp.tile(
-          jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype), (m.nmocap, 1)
+      mocap_quat=np.tile(
+          np.asarray([1.0, 0.0, 0.0, 0.0], dtype=npdt), (m.nmocap, 1)
       ),
       qacc_warmstart=z(nv),
       xpos=z(nbody, 3),
       xquat=identity_quat,
-      xmat=jnp.tile(jnp.eye(3, dtype=dtype), (nbody, 1, 1)),
+      xmat=np.tile(np.eye(3, dtype=npdt), (nbody, 1, 1)),
       xipos=z(nbody, 3),
-      ximat=jnp.tile(jnp.eye(3, dtype=dtype), (nbody, 1, 1)),
+      ximat=np.tile(np.eye(3, dtype=npdt), (nbody, 1, 1)),
       xanchor=z(m.njnt, 3),
       xaxis=z(m.njnt, 3),
       geom_xpos=z(m.ngeom, 3),
-      geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ngeom, 1, 1)),
+      geom_xmat=np.tile(np.eye(3, dtype=npdt), (m.ngeom, 1, 1)),
       site_xpos=z(m.nsite, 3),
-      site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nsite, 1, 1)),
+      site_xmat=np.tile(np.eye(3, dtype=npdt), (m.nsite, 1, 1)),
       cam_xpos=z(m.ncam, 3),
-      cam_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ncam, 1, 1)),
+      cam_xmat=np.tile(np.eye(3, dtype=npdt), (m.ncam, 1, 1)),
       subtree_com=z(nbody, 3),
       cinert=z(nbody, 10),
       cdof=z(nv, 6),
@@ -883,7 +898,7 @@ def make_data(m: Model, dtype=None) -> Data:
       efc_R=z(lay.nefc),
       efc_aref=z(lay.nefc),
       efc_force=z(lay.nefc),
-      efc_active=jnp.zeros((lay.nefc,), dtype=bool),
+      efc_active=np.zeros((lay.nefc,), dtype=bool),
       efc_KBIP=z(lay.nefc, 4),
       efc_type=lay.efc_type,
       efc_id=lay.efc_id,
@@ -893,10 +908,11 @@ def make_data(m: Model, dtype=None) -> Data:
       sensordata=z(m.nsensordata),
       energy=z(2),
       solver_fwdinv=z(2),
-      solver_niter=jnp.asarray(0, dtype=jnp.int32),
+      solver_niter=np.asarray(0, dtype=np.int32),
       solver_stat=z(solver_mod.stat_cap(m), 3),
-      warning=jnp.zeros(2, dtype=jnp.int32),
+      warning=np.zeros(2, dtype=np.int32),
   )
+  return jax.device_put(data)
 
 
 def put_data(m: Model, mjd, dtype=None) -> Data:

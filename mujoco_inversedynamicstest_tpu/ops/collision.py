@@ -739,9 +739,10 @@ def collision(m: Model, d: Data) -> Data:
       margin, incmargin = margin[sel], incmargin[sel]
       fri, sr, srf, si = fri[sel], sr[sel], srf[sel], si[sel]
 
+    gsize = jnp.asarray(m.geom_size)  # g1/g2 may be traced (top-k sel)
     dist, pos, nrm, yhint = jax.vmap(fn)(
-        d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-        d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+        d.geom_xpos[g1], d.geom_xmat[g1], gsize[g1],
+        d.geom_xpos[g2], d.geom_xmat[g2], gsize[g2],
         margin,
     )
     k = grp.nslot
@@ -816,15 +817,18 @@ def _empty_contact(m: Model, dtype) -> Contact:
 
 def alloc_contact(m: Model, dtype) -> Contact:
   """Zero-filled contact set with the model's static layout (for
-  ``make_data``: keeps the Data pytree structure stable across steps)."""
+  ``make_data``: keeps the Data pytree structure stable across steps).
+
+  Host numpy leaves — make_data ships the whole Data in one transfer."""
   lay = contact_layout(m)
   n = lay.ncon
-  z = lambda *s: jnp.zeros(s, dtype=dtype)
+  npdt = np.dtype(dtype)
+  z = lambda *s: np.zeros(s, dtype=npdt)
   return Contact(
-      dist=jnp.full((n,), _BIG, dtype=dtype), pos=z(n, 3),
-      frame=jnp.tile(jnp.eye(3, dtype=dtype), (n, 1, 1)),
+      dist=np.full((n,), _BIG, dtype=npdt), pos=z(n, 3),
+      frame=np.tile(np.eye(3, dtype=npdt), (n, 1, 1)),
       includemargin=z(n), margin=z(n), friction=z(n, 5), solref=z(n, 2),
       solreffriction=z(n, 2), solimp=z(n, 5),
-      geom1=jnp.zeros(n, jnp.int32), geom2=jnp.zeros(n, jnp.int32),
+      geom1=np.zeros(n, np.int32), geom2=np.zeros(n, np.int32),
       efc_address=lay.efc_address, dim=lay.dim,
   )

@@ -767,8 +767,9 @@ def _contact_rows(m: Model, d: Data):
       mask1, side_rows(b1), 0.0
   )
 
-  # diag approx (ref :1300-1306)
-  invw = m.body_invweight0
+  # diag approx (ref :1300-1306); jnp view — b1/b2 are traced indices and
+  # model leaves are host numpy (io.py:_jx)
+  invw = jnp.asarray(m.body_invweight0)
   tran = invw[b1, 0] + invw[b2, 0]       # (ncon,)
   rot = invw[b1, 1] + invw[b2, 1]
 

@@ -211,6 +211,17 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 
   force = gain * act_input + bias
 
+  # actuator plugin hooks (mjPLUGIN_ACTUATOR compute point: the reference
+  # dispatches plugin actuators inside mj_fwdActuation): plugins override
+  # act_dot slots and force entries of their actuators
+  for hook in m.plugin_hooks:
+    new_ad = hook.act_dot(m, d, ctrl, act_dot)
+    if new_ad is not None:
+      act_dot = new_ad
+    new_f = hook.actuator_force(m, d, ctrl, force)
+    if new_f is not None:
+      force = new_f
+
   limited_f = jnp.asarray(m.actuator_forcelimited.astype(bool))
   force = jnp.where(
       limited_f,

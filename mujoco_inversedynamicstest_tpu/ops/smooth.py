@@ -197,6 +197,7 @@ def _tree_sum_up(m: Model, x: jax.Array) -> jax.Array:
   world row).  Level-wise: deepest level first, children scatter-add into
   parents.
   """
+  x = jnp.asarray(x)  # may arrive as a host-numpy model leaf
   for bodies in reversed(m.tree.body_levels):
     x = x.at[m.body_parentid[bodies]].add(x[bodies])
   return x

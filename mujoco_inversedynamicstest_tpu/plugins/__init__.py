@@ -21,3 +21,4 @@ from mujoco_inversedynamicstest_tpu.plugins.registry import (
     registered_plugins,
 )
 from mujoco_inversedynamicstest_tpu.plugins import cable  # registers itself
+from mujoco_inversedynamicstest_tpu.plugins import pid  # registers itself

@@ -107,14 +107,16 @@ class CableInstance(registry.PluginInstance):
       K[b] = _section_stiffness(mjm, bodies[b], G, E)
       L[b] = (np.linalg.norm(xpos0[b] - xpos0[b - 1]) if b else 0.0)
 
+    # host numpy: these embed as zero-copy closure constants (io.py:_jx)
     self.i0 = i0
     self.n = n
     self.bodies = np.asarray(bodies, np.int32)
     self.qadr = qadr
-    self._body_quat = jnp.asarray(body_quat, dtype)
-    self._omega0 = jnp.asarray(omega0[1:], dtype)            # (n-1, 3)
-    self._K = jnp.asarray(K[1:], dtype)                      # (n-1, 3)
-    self._L = jnp.asarray(np.maximum(L[1:], 1e-30), dtype)   # (n-1,)
+    npdt = np.dtype(dtype)
+    self._body_quat = np.asarray(body_quat, npdt)
+    self._omega0 = np.asarray(omega0[1:], npdt)              # (n-1, 3)
+    self._K = np.asarray(K[1:], npdt)                        # (n-1, 3)
+    self._L = np.asarray(np.maximum(L[1:], 1e-30), npdt)     # (n-1,)
 
   def passive(self, m, d):
     """qfrc_passive contribution (the mjPLUGIN_PASSIVE compute hook)."""

@@ -40,6 +40,15 @@ class PluginInstance:
     """Returns a (nv,) generalized-force contribution, or None."""
     return None
 
+  def act_dot(self, m, d, ctrl, act_dot):
+    """Returns the updated (na,) act_dot (plugin slots overridden), or
+    None (the mjPLUGIN_ACTUATOR actdot callback analog)."""
+    return None
+
+  def actuator_force(self, m, d, ctrl, force):
+    """Returns the updated (nu,) actuator force vector, or None."""
+    return None
+
 
 def register_plugin(name: str, factory: Callable) -> None:
   """Registers ``factory(mjm, instance_id, dtype) -> PluginInstance``."""

@@ -102,7 +102,49 @@ def test_weak_scaling_harness():
   for p in res.points:
     assert p.solves_per_sec > 0
     assert np.isfinite(p.plan_cost_mean)
-  assert res.efficiency > 0
+  # this CI box has 2 physical cores under 4 virtual devices, so perfect
+  # weak scaling is impossible here; still require a nontrivial floor —
+  # total throughput must grow with the mesh, not collapse under
+  # sharding overhead (exactness vs vmap is asserted separately above)
+  assert res.efficiency > 0.15, f"weak-scaling efficiency {res.efficiency}"
+  assert res.points[-1].solves_per_sec > res.points[0].solves_per_sec
+
+
+MJX_HUMANOID = "/root/reference/mjx/mujoco/mjx/test_data/humanoid/humanoid.xml"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(MJX_HUMANOID), reason="reference model not mounted"
+)
+def test_humanoid_fleet_f32_stays_finite():
+  """Regression for the round-2 flagship NaN: a perturbed humanoid fleet
+  stepped open-loop in f32 must never produce a non-finite state.
+
+  Root cause was the Newton solver's f32 constraint-Hessian Cholesky
+  returning non-finite factors (115/128 lanes diverged within 100 steps
+  before the mass-matrix fallback in ops/solver.py:_refresh_gradient)."""
+  mjm = mujoco.MjModel.from_xml_path(MJX_HUMANOID)
+  m = mi.put_model(mjm, dtype=jnp.float32)
+  d0 = mi.make_data(m)
+  cfg = northstar.NorthStarConfig(fleet=64, qpos_noise=0.01, qvel_noise=0.01)
+  fleet = northstar.make_fleet(m, d0, cfg)
+
+  @jax.jit
+  def roll(ds):
+    def body(ds, _):
+      dn = jax.vmap(lambda dd: mi.step(m, dd))(ds)
+      fin = jax.vmap(
+          lambda dd: jnp.all(jnp.isfinite(dd.qpos))
+          & jnp.all(jnp.isfinite(dd.qvel)))(dn)
+      return dn, fin
+    ds, fin = jax.lax.scan(body, ds, None, length=100)
+    return ds, fin
+
+  _, fin = roll(fleet)
+  fin = np.asarray(fin)
+  assert fin.all(), (
+      f"{(~fin).any(axis=0).sum()}/{fin.shape[1]} lanes went non-finite")
 
 
 @pytest.mark.slow

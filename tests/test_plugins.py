@@ -84,25 +84,81 @@ def test_cable_rollout_vs_c():
   np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-5)
 
 
+def _pid_xml(kp="40", ki="", kd="", imax="", slewmax="", actdim=0):
+  cfg = "".join(
+      f'<config key="{k}" value="{v}"/>'
+      for k, v in (("kp", kp), ("ki", ki), ("kd", kd), ("imax", imax),
+                   ("slewmax", slewmax)) if v)
+  dim = f' actdim="{actdim}"' if actdim else ""
+  return f"""
+  <mujoco>
+    <option timestep="0.002"/>
+    <extension><plugin plugin="mujoco.pid">
+      <instance name="pid0">{cfg}</instance>
+    </plugin></extension>
+    <worldbody>
+      <body pos="0 0 1">
+        <joint name="j" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.25 0 0" mass="0.5"/>
+      </body>
+    </worldbody>
+    <actuator>
+      <plugin plugin="mujoco.pid" instance="pid0" joint="j"{dim}/>
+    </actuator>
+  </mujoco>
+  """
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(kp="40", kd="2"),
+    dict(kp="25", ki="30", imax="5", actdim=1),
+    dict(kp="30", ki="20", kd="1", imax="4", slewmax="8", actdim=2),
+])
+def test_pid_rollout_vs_c(cfg):
+  """PID actuator (P/PI/PID+slew) tracks the C plugin over a rollout."""
+  mjm = mujoco.MjModel.from_xml_string(_pid_xml(**cfg))
+  mjd = mujoco.MjData(mjm)
+  m = mi.put_model(mjm)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  rng = np.random.RandomState(0)
+  for t in range(150):
+    u = 0.8 * np.sin(0.05 * t) + 0.1 * rng.randn()
+    mjd.ctrl[0] = u
+    d = d.replace(ctrl=jnp.asarray([u], d.ctrl.dtype))
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-7)
+  if m.na:
+    np.testing.assert_allclose(np.asarray(d.act), mjd.act, atol=1e-8)
+
+
 def test_unknown_plugin_refused():
   """A model with an unregistered plugin fails loudly at load."""
   xml = """
   <mujoco>
-    <extension><plugin plugin="mujoco.pid">
-      <instance name="pid0">
-        <config key="kp" value="40"/>
+    <extension><plugin plugin="mujoco.sensor.touch_grid">
+      <instance name="tg">
+        <config key="size" value="3 3"/>
+        <config key="fov" value="45 45"/>
+        <config key="gamma" value="0"/>
+        <config key="nchannel" value="1"/>
       </instance>
     </plugin></extension>
     <worldbody>
-      <body><joint name="j" type="hinge"/>
-        <geom type="capsule" size="0.02" fromto="0 0 0 0.2 0 0"/>
+      <body pos="0 0 0.5"><freejoint/>
+        <geom type="sphere" size="0.1" mass="1"/>
+        <site name="s" size="0.01"/>
       </body>
+      <geom type="plane" size="2 2 0.1"/>
     </worldbody>
-    <actuator>
-      <plugin plugin="mujoco.pid" instance="pid0" joint="j"/>
-    </actuator>
+    <sensor>
+      <plugin plugin="mujoco.sensor.touch_grid" instance="tg"
+              objtype="site" objname="s"/>
+    </sensor>
   </mujoco>
   """
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(NotImplementedError, match="plugin"):
+  with pytest.raises(NotImplementedError, match="plugin|sensor"):
     mi.put_model(mjm)
