@@ -136,9 +136,15 @@ def measure_stage_breakdown(mi, m, d0, batch=512, reps=20):
 
 
 def measure_humanoid100(mi):
-  """humanoid100 (nv=627) batched steps/s — the dense-(nv,nv) scaling
-  edge (VERDICT r2 weak item 9)."""
+  """humanoid100 (nv=627) batched steps/s, blocked vs dense LTDL.
+
+  The dense-(nv,nv) scaling edge (VERDICT r2 weak item 9): the blocked
+  factorization treats each independent mechanism as its own dense block
+  (ops/smooth.py _dof_blocks); this measures both paths so the repo
+  carries the dense-vs-block-sparse comparison at nv=627.
+  """
   import mujoco
+  import jax
 
   path = "/root/reference/model/humanoid100/humanoid100.xml"
   if not os.path.exists(path):
@@ -153,27 +159,31 @@ def measure_humanoid100(mi):
   </custom>
 </mujoco>""")
   mjm = mujoco.MjModel.from_xml_string(xml)
-  m = mi.put_model(mjm, dtype=jnp.float32)
-  d0 = mi.make_data(m)
   batch = 64
-  import jax
 
-  ds = jax.vmap(lambda i: d0)(jnp.arange(batch))
+  def rate(m):
+    d0 = mi.make_data(m)
+    ds = jax.vmap(lambda i: d0)(jnp.arange(batch))
 
-  @jax.jit
-  def roll(dd):
-    def body(dd, _):
-      return jax.vmap(lambda x: mi.step(m, x))(dd), ()
-    dd, _ = jax.lax.scan(body, dd, None, length=20)
-    return dd
+    @jax.jit
+    def roll(dd):
+      def body(dd, _):
+        return jax.vmap(lambda x: mi.step(m, x))(dd), ()
+      dd, _ = jax.lax.scan(body, dd, None, length=20)
+      return dd
 
-  out = roll(ds)
-  jax.block_until_ready(out.qpos)
-  t0 = time.perf_counter()
-  out = roll(out)
-  jax.block_until_ready(out.qpos)
-  dt = time.perf_counter() - t0
-  return batch * 20 / dt
+    out = roll(ds)
+    jax.block_until_ready(out.qpos)
+    t0 = time.perf_counter()
+    out = roll(out)
+    jax.block_until_ready(out.qpos)
+    return batch * 20 / (time.perf_counter() - t0)
+
+  m = mi.put_model(mjm, dtype=jnp.float32)
+  blocked = rate(m)
+  dense = rate(m.replace(force_dense_ltdl=True))
+  return {"blocked_ltdl": round(blocked, 1), "dense_ltdl": round(dense, 1),
+          "speedup": round(blocked / dense, 3)}
 
 
 def measure_cpu_reference_solve_rate(mjm, horizon, iters, n_alpha):
@@ -286,7 +296,7 @@ def main():
   try:
     h100 = measure_humanoid100(mi)
     if h100 is not None:
-      extra["humanoid100_steps_per_sec_per_chip"] = round(h100, 1)
+      extra["humanoid100_steps_per_sec_per_chip"] = h100
   except Exception as e:
     extra["humanoid100_error"] = repr(e)[:120]
 

@@ -603,6 +603,9 @@ class Model:
   max_contact_points: int = static_field(default=-1)
   max_geom_pairs: int = static_field(default=-1)
 
+  # force the dense (nv, nv) Cholesky even for multi-mechanism scenes
+  # (benchmark A/B switch for the blocked factorization, ops/smooth.py)
+  force_dense_ltdl: bool = static_field(default=False)
   # trace-time specialization hints derived from the compiled model
   has_dof_damping: bool = static_field(default=False)
   has_fluid: bool = static_field(default=False)

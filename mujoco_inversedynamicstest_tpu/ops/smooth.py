@@ -392,17 +392,64 @@ def crb(m: Model, d: Data) -> Data:
   return d.replace(crb=crb_body, qM=qm)
 
 
+def _dof_blocks(m: Model):
+  """Independent dof blocks = root subtrees of the dof-parent forest.
+
+  The joint-space inertia couples two dofs only when one is a tree
+  ancestor of the other (the reference's ``dof_Madr`` sparsity), so M is
+  block-diagonal across root subtrees.  Returns ``{size: (nblk,) start
+  array}`` when every subtree's dofs are contiguous (MuJoCo's DFS dof
+  ordering guarantees this) and there is more than one block; None
+  otherwise (single mechanism -> plain dense path).
+  """
+  nv = m.nv
+  par = np.asarray(m.dof_parentid)
+  if nv < 2 or m.force_dense_ltdl:
+    return None
+  root = np.arange(nv)
+  for k in range(nv):
+    p = par[k]
+    root[k] = root[p] if p >= 0 else k
+  starts = np.nonzero(np.concatenate([[True], root[1:] != root[:-1]]))[0]
+  if len(starts) < 2:
+    return None
+  # contiguity check: each block's dofs all map to the block's root
+  sizes = np.diff(np.concatenate([starts, [nv]]))
+  for s, sz in zip(starts, sizes):
+    if not np.all(root[s:s + sz] == root[s]):
+      return None  # non-contiguous subtree (defensive) -> dense
+  groups = {}
+  for s, sz in zip(starts, sizes):
+    groups.setdefault(int(sz), []).append(int(s))
+  return {sz: np.asarray(ss, np.int32) for sz, ss in groups.items()}
+
+
 def factor_m(m: Model, d: Data) -> Data:
-  """Factorizes qM (dense Cholesky; analog of ``mj_factorM`` ref :1470).
+  """Factorizes qM (analog of ``mj_factorM`` ref :1470).
 
   The reference factors sparse LTDL in tree order; on TPU a dense batched
   Cholesky maps better: under ``vmap`` the factorization dispatches to the
   lane-batched Pallas kernel (``ops/linalg.py``) that keeps the whole
   factorization in VMEM with rollouts on vector lanes.
+
+  Scenes with many independent mechanisms (humanoid100, object piles) use
+  the *blocked* path instead — the dense-block-per-tree-supernode design:
+  M is block-diagonal across root subtrees, so each same-size block group
+  factors as one batched small Cholesky (O(sum b³) instead of O(nv³));
+  the dense (nv, nv) qLD buffer just holds the factors block-wise.
   """
   from mujoco_inversedynamicstest_tpu.ops import linalg
 
-  qld = linalg.chol_factor(d.qM)
+  blocks = _dof_blocks(m)
+  if blocks is None:
+    return d.replace(qLD=linalg.chol_factor(d.qM))
+
+  qld = jnp.zeros_like(d.qM)
+  for sz, starts in sorted(blocks.items()):
+    idx = starts[:, None] + np.arange(sz)[None]            # (nblk, sz)
+    sub = d.qM[idx[:, :, None], idx[:, None, :]]           # (nblk, sz, sz)
+    ch = jax.vmap(linalg.chol_factor)(sub)
+    qld = qld.at[idx[:, :, None], idx[:, None, :]].set(ch)
   return d.replace(qLD=qld)
 
 
@@ -410,7 +457,17 @@ def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   """Solves M y = x using the factorization (analog ``mj_solveM`` ref :1713)."""
   from mujoco_inversedynamicstest_tpu.ops import linalg
 
-  return linalg.chol_solve(d.qLD, x)
+  blocks = _dof_blocks(m)
+  if blocks is None:
+    return linalg.chol_solve(d.qLD, x)
+
+  y = jnp.zeros_like(x)
+  for sz, starts in sorted(blocks.items()):
+    idx = starts[:, None] + np.arange(sz)[None]
+    lsub = d.qLD[idx[:, :, None], idx[:, None, :]]
+    sol = jax.vmap(linalg.chol_solve)(lsub, x[idx])  # (nblk, sz[, k])
+    y = y.at[idx].set(sol)
+  return y
 
 
 def mul_m(m: Model, d: Data, x: jax.Array) -> jax.Array:

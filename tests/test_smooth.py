@@ -130,3 +130,57 @@ def test_vmap_batching(name):
   out = jax.jit(jax.vmap(_position_stage, in_axes=(None, 0)))(m, ds)
   assert out.qM.shape == (batch, mjm.nv, mjm.nv)
   assert not np.any(np.isnan(out.qM))
+
+
+def test_blocked_ltdl_matches_dense():
+  """Multi-mechanism scenes use the blocked factorization (one dense
+  Cholesky per root subtree, ops/smooth.py _dof_blocks); it must agree
+  with the dense (nv, nv) path exactly (same arithmetic per block)."""
+  xml = """
+  <mujoco>
+    <worldbody>
+      <body pos="0 0 1"><freejoint/><geom type="sphere" size="0.1" mass="1"/></body>
+      <body pos="1 0 1"><freejoint/><geom type="box" size="0.1 0.1 0.1" mass="2"/></body>
+      <body pos="2 0 1">
+        <joint type="hinge" axis="0 1 0"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="0.5"/>
+        <body pos="0.3 0 0">
+          <joint type="hinge" axis="1 0 0"/>
+          <geom type="capsule" size="0.02" fromto="0 0 0 0.2 0 0" mass="0.3"/>
+        </body>
+      </body>
+    </worldbody>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mi.put_model(mjm)
+  d = mi.make_data(m)
+  d = d.replace(qpos=d.qpos + 0.01 * np.arange(mjm.nq))
+
+  from mujoco_inversedynamicstest_tpu.ops.smooth import _dof_blocks
+
+  blocks = _dof_blocks(m)
+  assert blocks is not None and sorted(blocks) == [2, 6]
+  assert len(blocks[6]) == 2 and len(blocks[2]) == 1
+
+  def fk_factor(mm, dd):
+    dd = mi.crb(mm, mi.com_pos(mm, mi.kinematics(mm, dd)))
+    dd = mi.factor_m(mm, dd)
+    return dd
+
+  d_b = jax.jit(fk_factor)(m, d)
+  m_dense = m.replace(force_dense_ltdl=True)
+  d_d = jax.jit(fk_factor)(m_dense, d)
+
+  rng = np.random.RandomState(0)
+  x = rng.randn(mjm.nv)
+  y_b = jax.jit(lambda mm, dd, xx: mi.solve_m(mm, dd, xx))(m, d_b, x)
+  y_d = jax.jit(lambda mm, dd, xx: mi.solve_m(mm, dd, xx))(m_dense, d_d, x)
+  np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_d), atol=1e-12)
+  # and against the C engine's M solve
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = np.asarray(d.qpos)
+  mujoco.mj_forward(mjm, mjd)
+  res = x.copy()
+  mujoco.mj_solveM(mjm, mjd, res.reshape(1, -1), x.reshape(1, -1))
+  np.testing.assert_allclose(np.asarray(y_b), res, atol=1e-10)
