@@ -146,7 +146,7 @@ def measure_humanoid100(mi):
   import mujoco
   import jax
 
-  path = "/root/reference/model/humanoid100/humanoid100.xml"
+  path = "/root/reference/model/humanoid/humanoid100.xml"
   if not os.path.exists(path):
     return None
   with open(path) as f:

@@ -29,8 +29,20 @@ from jax import custom_batching
 
 _LANES = 128
 
+# Pallas dispatch gate.  Disabled by default after a field failure: the
+# kernels are exact in isolation (unit-tested against numpy incl. nested
+# vmap/jvp and ill-conditioned inputs), but inside the large fleet-MPC
+# programs on the remote TPU they produced NaN lanes (and the round-2
+# benchmark numbers turned out to be NaN-accelerated garbage: lanes that
+# go NaN short-circuit the solver's while_loops).  Until the interaction
+# is root-caused under a multi-block grid in fused programs, correctness
+# wins: the jnp paths are used everywhere.  Set to True to re-enable.
+PALLAS_ENABLED = False
+
 
 def _use_pallas(batch: int, n: int) -> bool:
+  if not PALLAS_ENABLED:
+    return False
   if jax.default_backend() != "tpu":
     return False
   # lane tiling wants a multiple of 128; small n keeps VMEM bounded
@@ -98,8 +110,11 @@ def _pallas_chol(h_batched: jax.Array) -> jax.Array:
   from jax.experimental import pallas as pl
 
   b, n, _ = h_batched.shape
-  # symmetric: row-major flatten == column-major flatten
-  h_cm = h_batched.reshape(b, n * n).T          # (n*n, B)
+  # true column-major flatten.  Do NOT shortcut via row-major + "it's
+  # symmetric": matrices assembled by TPU matmuls are only symmetric to
+  # bf16 accumulation error (measured ~1e-3 relative on Newton Hessians),
+  # and feeding the transposed matrix amplified that into NaN factors.
+  h_cm = h_batched.transpose(0, 2, 1).reshape(b, n * n).T   # (n*n, B)
   grid = (b // _LANES,)
   out = pl.pallas_call(
       partial(_chol_kernel, n),

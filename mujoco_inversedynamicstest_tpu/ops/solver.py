@@ -121,16 +121,13 @@ def _refresh_gradient(m: Model, d: Data, st: _State) -> _State:
       Jc = d.efc_J[np.minimum(ct.rows, d.nefc - 1)] * jnp.asarray(
           ct.rmask, grad.dtype)[:, :, None]           # (nes, 6, nv)
       hess = hess + jnp.einsum('eiv,eij,ejw->vw', Jc, Hc, Jc)
+    # NOTE the round-2 fleet NaNs traced to the Pallas Cholesky being fed
+    # a transposed matrix through a "symmetric" layout shortcut (TPU
+    # matmuls make J'DJ symmetric only to bf16 accumulation error); fixed
+    # at the kernel layout (ops/linalg.py:_pallas_chol), so no Hessian
+    # regularization or fallback is needed here.
     chol = linalg.chol_factor(hess)
-    mgrad_n = linalg.chol_solve(chol, grad)
-    # f32 robustness: a near-singular Hessian can produce a non-finite
-    # factor (sqrt of a rounding-negative pivot).  The reference's
-    # mju_cholFactor clamps such pivots to mjMINVAL and proceeds
-    # (engine_util_solve.c:32); here the equivalent recovery is falling
-    # back to the always-SPD mass-matrix preconditioner for this iterate
-    # — still a descent direction, never NaN.
-    ok = jnp.all(jnp.isfinite(mgrad_n))
-    mgrad = jnp.where(ok, mgrad_n, smooth.solve_m(m, d, grad))
+    mgrad = linalg.chol_solve(chol, grad)
   else:
     mgrad = smooth.solve_m(m, d, grad)
   return st._replace(grad=grad, mgrad=mgrad)

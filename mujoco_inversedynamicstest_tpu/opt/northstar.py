@@ -93,6 +93,11 @@ class NorthStarConfig(NamedTuple):
   # plan (the H=100 parity configuration: the executed trajectory then IS
   # the full-horizon plan, replayed through both inverse pipelines)
   n_apply: int = 1
+  # max fleet lanes per device execution: the measurement harness splits
+  # larger fleets into sequential dispatches of this size (long single
+  # executions can exceed remote-runtime deadlines; throughput is
+  # unaffected — the device is saturated well below 256 lanes)
+  max_exec_fleet: int = 256
 
   def mpc_config(self) -> mpc_mod.MPCConfig:
     return mpc_mod.MPCConfig(
@@ -149,18 +154,32 @@ class NorthStarResult(NamedTuple):
 
 def measure_solves_per_sec(m: Model, cost, d0: Data,
                            cfg: NorthStarConfig) -> NorthStarResult:
-  """Times the fleet solve (compile excluded; one warm repetition)."""
+  """Times the fleet solve (compile excluded; one warm repetition).
+
+  Fleets larger than ``cfg.max_exec_fleet`` run as sequential dispatches
+  of that size (one compiled program, several executions)."""
   fleet = make_fleet(m, d0, cfg)
-  fn = fleet_mpc_fn(m, cost, cfg)
+  chunk = min(cfg.fleet, cfg.max_exec_fleet)
+  n_chunks, rem = divmod(cfg.fleet, chunk)
+  if rem:
+    n_chunks, chunk = 1, cfg.fleet  # non-divisible: single dispatch
+  fn = fleet_mpc_fn(m, cost, cfg._replace(fleet=chunk))
+  chunks = [
+      jax.tree.map(lambda a, i=i: a[i * chunk:(i + 1) * chunk], fleet)
+      for i in range(n_chunks)
+  ]
+
+  def run_all():
+    outs = [fn(c) for c in chunks]
+    jax.block_until_ready(outs[-1].plan_costs)
+    return jax.tree.map(lambda *x: jnp.concatenate(x), *outs)
 
   t0 = time.perf_counter()
-  out = fn(fleet)
-  jax.block_until_ready(out.plan_costs)
+  out = run_all()
   compile_time = time.perf_counter() - t0
 
   t0 = time.perf_counter()
-  out = fn(fleet)
-  jax.block_until_ready(out.plan_costs)
+  out = run_all()
   dt = time.perf_counter() - t0
 
   n_solves = cfg.fleet * cfg.n_replan

@@ -121,9 +121,11 @@ def test_humanoid_fleet_f32_stays_finite():
   """Regression for the round-2 flagship NaN: a perturbed humanoid fleet
   stepped open-loop in f32 must never produce a non-finite state.
 
-  Root cause was the Newton solver's f32 constraint-Hessian Cholesky
-  returning non-finite factors (115/128 lanes diverged within 100 steps
-  before the mass-matrix fallback in ops/solver.py:_refresh_gradient)."""
+  Root cause was the Pallas lane-batched Cholesky consuming a row-major
+  flatten of the (only bf16-symmetric) Newton Hessian — effectively a
+  transposed matrix — which exploded into NaN factors for 115/128 lanes
+  within 100 steps (fixed in ops/linalg.py:_pallas_chol; the Pallas
+  dispatch is additionally gated off pending field validation)."""
   mjm = mujoco.MjModel.from_xml_path(MJX_HUMANOID)
   m = mi.put_model(mjm, dtype=jnp.float32)
   d0 = mi.make_data(m)
@@ -178,3 +180,21 @@ def test_humanoid_h100_mpc_torque_parity():
   assert err <= 1e-4, f"north-star torque parity failed: {err}"
   # in f64 we expect near machine-precision agreement
   assert err <= 1e-7, f"expected tight f64 parity, got {err}"
+
+
+def test_chunked_fleet_solve_matches_single():
+  """measure_solves_per_sec with max_exec_fleet splits the fleet into
+  sequential dispatches; results must equal the single-dispatch run."""
+  mjm, m, d0 = _arm()
+  cost = northstar.balance_cost(m)
+  base = northstar.NorthStarConfig(
+      horizon=6, fleet=4, n_replan=1, ilqr_iterations=1, n_alpha=2,
+      lin_batch=None, qpos_noise=0.1)
+  res_one = northstar.measure_solves_per_sec(
+      m, cost, d0, base._replace(max_exec_fleet=4))
+  res_chunk = northstar.measure_solves_per_sec(
+      m, cost, d0, base._replace(max_exec_fleet=2))
+  np.testing.assert_allclose(
+      np.asarray(res_chunk.run.plan_costs),
+      np.asarray(res_one.run.plan_costs), rtol=1e-12)
+  assert res_chunk.n_solves == res_one.n_solves == 4
