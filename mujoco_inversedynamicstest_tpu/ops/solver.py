@@ -111,7 +111,13 @@ def _refresh_gradient(m: Model, d: Data, st: _State) -> _State:
   grad = st.Ma - d.qfrc_smooth - st.qfrc_constraint
   if m.opt.solver == SolverType.NEWTON:
     dd = d.efc_D * st.quad_mask
-    hess = d.qM + (d.efc_J.T * dd) @ d.efc_J
+    # full-precision assembly: the default TPU matmul accumulates in
+    # bf16, leaving J'DJ asymmetric by ~1e-3 relative — the factorization
+    # then solves a slightly different system than the gradient uses,
+    # which destabilizes the one-iteration Newton configurations
+    hess = d.qM + jax.numpy.matmul(
+        d.efc_J.T * dd, d.efc_J, precision=jax.lax.Precision.HIGHEST)
+    hess = 0.5 * (hess + hess.T)
     ct = constraint.cone_tables(m)
     if ct.nes:
       U, N, T, T2, Dm, mu, coef = constraint.cone_quantities(
