@@ -158,7 +158,17 @@ def measure_humanoid100(mi):
     <numeric name="max_geom_pairs" data="256"/>
   </custom>
 </mujoco>""")
-  mjm = mujoco.MjModel.from_xml_string(xml)
+  # the model <include>s humanoid.xml relative to its directory: stage a
+  # copy so the modified XML compiles from a path, not a string
+  import shutil
+  import tempfile
+
+  tmpdir = tempfile.mkdtemp(prefix="h100_")
+  shutil.copy(os.path.join(os.path.dirname(path), "humanoid.xml"), tmpdir)
+  mod = os.path.join(tmpdir, "humanoid100.xml")
+  with open(mod, "w") as f:
+    f.write(xml)
+  mjm = mujoco.MjModel.from_xml_path(mod)
   batch = 64
 
   def rate(m):

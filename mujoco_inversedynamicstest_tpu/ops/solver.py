@@ -127,11 +127,6 @@ def _refresh_gradient(m: Model, d: Data, st: _State) -> _State:
       Jc = d.efc_J[np.minimum(ct.rows, d.nefc - 1)] * jnp.asarray(
           ct.rmask, grad.dtype)[:, :, None]           # (nes, 6, nv)
       hess = hess + jnp.einsum('eiv,eij,ejw->vw', Jc, Hc, Jc)
-    # NOTE the round-2 fleet NaNs traced to the Pallas Cholesky being fed
-    # a transposed matrix through a "symmetric" layout shortcut (TPU
-    # matmuls make J'DJ symmetric only to bf16 accumulation error); fixed
-    # at the kernel layout (ops/linalg.py:_pallas_chol), so no Hessian
-    # regularization or fallback is needed here.
     chol = linalg.chol_factor(hess)
     mgrad = linalg.chol_solve(chol, grad)
   else:
