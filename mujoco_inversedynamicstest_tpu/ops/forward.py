@@ -266,8 +266,16 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
   return d.replace(qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
 
 
-def forward(m: Model, d: Data, skip_sensor: bool = False) -> Data:
-  """Full forward dynamics (ref ``mj_forward`` = ``mj_forwardSkip(NONE)``)."""
+def forward(m: Model, d: Data, skip_sensor: bool = False,
+            ctrl_fn=None) -> Data:
+  """Full forward dynamics (ref ``mj_forward`` = ``mj_forwardSkip(NONE)``).
+
+  ``ctrl_fn(m, d) -> (nu,) ctrl`` is the in-step control callback — the
+  ``mjcb_control`` analog, fired at the reference's exact callback point:
+  after the velocity stage, before actuation (``engine_forward.c:1108``).
+  Because it is traced into the step, closed-loop policies jit inside
+  ``lax.scan`` rollouts with no host round-trip.
+  """
   with jax.named_scope("position"):
     d = fwd_position(m, d)
     if not skip_sensor:
@@ -276,6 +284,9 @@ def forward(m: Model, d: Data, skip_sensor: bool = False) -> Data:
     d = fwd_velocity(m, d)
     if not skip_sensor:
       d = sensor_mod.sensor_vel(m, d)
+  if ctrl_fn is not None:
+    with jax.named_scope("control_callback"):
+      d = d.replace(ctrl=jnp.asarray(ctrl_fn(m, d), dtype=d.ctrl.dtype))
   with jax.named_scope("actuation"):
     d = fwd_actuation(m, d)
   with jax.named_scope("acceleration"):
@@ -325,7 +336,7 @@ def euler(m: Model, d: Data) -> Data:
   return _advance(m, d, d.act_dot, qacc)
 
 
-def rungekutta4(m: Model, d: Data) -> Data:
+def rungekutta4(m: Model, d: Data, ctrl_fn=None) -> Data:
   """Explicit RK4 (ref ``mj_RungeKutta``:855, tableau :841)."""
   # Butcher tableau (same as the reference's fixed RK4)
   A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
@@ -347,7 +358,7 @@ def rungekutta4(m: Model, d: Data) -> Data:
     qvel_i = qvel0 + h * dqacc
     act_i = act0 + h * dact
     di = d0.replace(qpos=qpos_i, qvel=qvel_i, act=act_i)
-    di = forward(m, di, skip_sensor=True)
+    di = forward(m, di, skip_sensor=True, ctrl_fn=ctrl_fn)
     vels.append(qvel_i)
     accs.append(di.qacc)
     act_dots.append(di.act_dot)
@@ -445,13 +456,18 @@ def _check_reset(m: Model, d: Data) -> Data:
   )
 
 
-def step(m: Model, d: Data) -> Data:
-  """One simulation step (ref ``mj_step``, engine_forward.c:1134)."""
+def step(m: Model, d: Data, ctrl_fn=None) -> Data:
+  """One simulation step (ref ``mj_step``, engine_forward.c:1134).
+
+  ``ctrl_fn`` is the traceable in-step control callback (``mjcb_control``
+  analog, see :func:`forward`); the RK4 integrator re-fires it per stage
+  exactly as the reference re-enters ``mj_forwardSkip`` per stage.
+  """
   d = _check_reset(m, d)
-  d = forward(m, d)
+  d = forward(m, d, ctrl_fn=ctrl_fn)
   integrator = IntegratorType(m.opt.integrator)
   if integrator == IntegratorType.EULER:
     return euler(m, d)
   if integrator == IntegratorType.RK4:
-    return rungekutta4(m, d)
+    return rungekutta4(m, d, ctrl_fn=ctrl_fn)
   return implicit(m, d)

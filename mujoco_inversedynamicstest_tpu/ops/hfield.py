@@ -99,6 +99,15 @@ def subgrid_cells(grid: HFieldGrid, rbound: float, cap: int = 12
   ``rbound`` (cf. MJX's subgrid_size, collision_convex.py:1050)."""
   nc = int(np.ceil(2.0 * rbound / grid.dx)) + 1
   nr = int(np.ceil(2.0 * rbound / grid.dy)) + 1
+  if min(nc, grid.ncol - 1) > cap or min(nr, grid.nrow - 1) > cap:
+    import warnings
+
+    warnings.warn(
+        f"hfield contact window capped at {cap}x{cap} cells but the "
+        f"object's bounding radius {rbound:.3g} spans "
+        f"{min(nr, grid.nrow - 1)}x{min(nc, grid.ncol - 1)} cells "
+        f"(dx={grid.dx:.3g}, dy={grid.dy:.3g}); rim contacts outside the "
+        "window will be missed.  Use a coarser hfield or smaller geoms.")
   nc = max(1, min(nc, grid.ncol - 1, cap))
   nr = max(1, min(nr, grid.nrow - 1, cap))
   return nr, nc

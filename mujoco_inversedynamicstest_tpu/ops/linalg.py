@@ -221,6 +221,14 @@ def _solve_unrolled(l: jax.Array, rhs: jax.Array) -> jax.Array:
 
 
 def _use_unrolled(batch: int, n: int) -> bool:
+  # TPU-only, like _use_pallas: the unrolled graph is the TPU fast path
+  # (fused VPU rank-1 updates), but its O(n) pivot stages multiply through
+  # jacfwd linearizations into minutes of *CPU* compile time — round 3's
+  # 8-device dryrun gate timed out (2512 s) purely on XLA:CPU compiles of
+  # these graphs.  CPU callers get jnp.linalg.cholesky, which lowers to a
+  # LAPACK custom-call: no graph blow-up and faster anyway on that backend.
+  if jax.default_backend() != "tpu":
+    return False
   return 2 <= n <= _UNROLL_N_MAX
 
 
@@ -232,6 +240,12 @@ def _use_unrolled(batch: int, n: int) -> bool:
 @custom_batching.custom_vmap
 def chol_factor(h: jax.Array) -> jax.Array:
   """Lower Cholesky factor of an SPD matrix (batched -> unrolled/Pallas)."""
+  # Route the unbatched case through the same clamped kernel as the
+  # batched one (advisor r3): otherwise the same non-SPD matrix yields a
+  # finite (clamped) factor under vmap but NaN unbatched, and fleet runs
+  # diverge from single-scene runs in a way NaN checks can't see.
+  if h.ndim == 2 and _use_unrolled(1, h.shape[-1]):
+    return _chol_unrolled(h[None])[0]
   return jnp.linalg.cholesky(h)
 
 

@@ -38,7 +38,7 @@ class RolloutResult(NamedTuple):
 
 def _rollout_one(m: Model, d_template: Data, initial_state: jax.Array,
                  control: Optional[jax.Array], control_spec: int,
-                 nstep: int) -> RolloutResult:
+                 nstep: int, ctrl_fn=None) -> RolloutResult:
   d0 = support.set_state(
       m, d_template, initial_state, StateFlag.FULLPHYSICS
   )
@@ -46,7 +46,7 @@ def _rollout_one(m: Model, d_template: Data, initial_state: jax.Array,
   def body(d, ctrl_t):
     if ctrl_t is not None:
       d = support.set_state(m, d, ctrl_t, control_spec)
-    d = forward_mod.step(m, d)
+    d = forward_mod.step(m, d, ctrl_fn=ctrl_fn)
     out = support.get_state(m, d, StateFlag.FULLPHYSICS)
     return d, (out, d.sensordata)
 
@@ -58,8 +58,9 @@ def _rollout_one(m: Model, d_template: Data, initial_state: jax.Array,
 def rollout(m: Model, d_template: Data, initial_state: jax.Array,
             control: Optional[jax.Array] = None,
             control_spec: int = StateFlag.CTRL,
-            nstep: Optional[int] = None) -> RolloutResult:
-  """Open-loop batched rollout (analog of ``rollout.rollout``).
+            nstep: Optional[int] = None,
+            ctrl_fn=None) -> RolloutResult:
+  """Batched rollout (analog of ``rollout.rollout``), open or closed loop.
 
   Args:
     m: model.
@@ -70,6 +71,10 @@ def rollout(m: Model, d_template: Data, initial_state: jax.Array,
       template's inputs are held for ``nstep`` steps.
     control_spec: which input fields ``control`` writes each step.
     nstep: horizon; required if ``control`` is None.
+    ctrl_fn: optional traceable feedback policy ``(m, d) -> (nu,) ctrl``
+      fired inside each step at the ``mjcb_control`` point (reference
+      ``engine_forward.c:1108``) — closed-loop rollouts run entirely
+      on-device inside the ``lax.scan``, no host splice per step.
 
   Returns (state, sensordata) stacked over (nbatch, nstep).  Jittable;
   to shard over devices wrap with ``parallel.sharding.shard_batch``.
@@ -79,12 +84,14 @@ def rollout(m: Model, d_template: Data, initial_state: jax.Array,
   if nstep is None:
     nstep = control.shape[1]
 
-  fn = jax.vmap(
-      lambda s, c: _rollout_one(m, d_template, s, c, control_spec, nstep)
-  )
   if control is None:
     fn = jax.vmap(
-        lambda s: _rollout_one(m, d_template, s, None, control_spec, nstep)
+        lambda s: _rollout_one(m, d_template, s, None, control_spec, nstep,
+                               ctrl_fn)
     )
     return fn(initial_state)
+  fn = jax.vmap(
+      lambda s, c: _rollout_one(m, d_template, s, c, control_spec, nstep,
+                                ctrl_fn)
+  )
   return fn(initial_state, control)

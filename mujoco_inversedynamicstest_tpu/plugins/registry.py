@@ -59,33 +59,55 @@ def registered_plugins() -> Tuple[str, ...]:
   return tuple(sorted(_REGISTRY))
 
 
-_plugin_name_fn = None
+class _MjpPluginHead(ctypes.Structure):
+  """Leading members of ``mjpPlugin`` (mjplugin.h:77-81) — enough to read
+  the name and the declared attribute-name table."""
+
+  _fields_ = [
+      ("name", ctypes.c_char_p),
+      ("nattribute", ctypes.c_int),
+      ("attributes", ctypes.POINTER(ctypes.c_char_p)),
+  ]
 
 
-def plugin_name_at_slot(slot: int) -> Optional[str]:
-  """Resolves a compiled model's plugin slot id to its registered name.
+_plugin_at_slot_fn = None
 
-  The Python bindings do not expose ``mjp_getPluginAtSlot``; we call it
-  through ctypes (the first ``mjpPlugin`` member is the name pointer,
-  mjplugin.h:79).
-  """
-  global _plugin_name_fn
-  if _plugin_name_fn is None:
+
+def _plugin_at_slot(slot: int) -> Optional[_MjpPluginHead]:
+  global _plugin_at_slot_fn
+  if _plugin_at_slot_fn is None:
     import mujoco
 
     libs = glob.glob(
         os.path.join(os.path.dirname(mujoco.__file__), "libmujoco.so*"))
     lib = ctypes.CDLL(libs[0])
     fn = lib.mjp_getPluginAtSlot
-    fn.restype = ctypes.c_void_p
+    fn.restype = ctypes.POINTER(_MjpPluginHead)
     fn.argtypes = [ctypes.c_int]
-    _plugin_name_fn = fn
-  p = _plugin_name_fn(int(slot))
-  if not p:
+    _plugin_at_slot_fn = fn
+  p = _plugin_at_slot_fn(int(slot))
+  return p.contents if p else None
+
+
+def plugin_name_at_slot(slot: int) -> Optional[str]:
+  """Resolves a compiled model's plugin slot id to its registered name.
+
+  The Python bindings do not expose ``mjp_getPluginAtSlot``; we call it
+  through ctypes against the ``mjpPlugin`` struct head (mjplugin.h:77).
+  """
+  head = _plugin_at_slot(slot)
+  if head is None or not head.name:
     return None
-  name_ptr = ctypes.cast(p, ctypes.POINTER(ctypes.c_void_p))[0]
-  raw = ctypes.cast(name_ptr, ctypes.c_char_p).value
-  return raw.decode() if raw else None
+  return head.name.decode()
+
+
+def plugin_attr_names(slot: int) -> Tuple[str, ...]:
+  """Declared config-attribute names of a plugin, in declaration order."""
+  head = _plugin_at_slot(slot)
+  if head is None:
+    return ()
+  return tuple(
+      head.attributes[i].decode() for i in range(int(head.nattribute)))
 
 
 def plugin_attrs(mjm, instance: int, keys: Tuple[str, ...]) -> Dict[str, str]:
@@ -93,12 +115,27 @@ def plugin_attrs(mjm, instance: int, keys: Tuple[str, ...]) -> Dict[str, str]:
 
   Values are stored as consecutive NUL-terminated strings starting at
   ``plugin_attradr[instance]`` in declaration order (engine_plugin.cc).
+  The order is read from the plugin's own declared attribute table
+  (mjpPlugin.attributes) rather than assumed from ``keys``, so a plugin
+  version that reorders or adds attributes cannot silently misassign
+  values (advisor r3).
   """
   adr = int(mjm.plugin_attradr[instance])
   end = (int(mjm.plugin_attradr[instance + 1])
          if instance + 1 < mjm.nplugin else mjm.npluginattr)
   blob = bytes(mjm.plugin_attr[adr:end])
   vals = blob.split(b"\0")
+  declared = plugin_attr_names(int(mjm.plugin[instance]))
+  if declared:
+    by_name = {n: (vals[i].decode() if i < len(vals) else "")
+               for i, n in enumerate(declared)}
+    unknown = [k for k in keys if k not in by_name]
+    if unknown:
+      raise NotImplementedError(
+          f"plugin attribute(s) {unknown} not declared by the plugin "
+          f"(declared: {declared}); the port is out of date")
+    return {k: by_name[k] for k in keys}
+  # no declared table (shouldn't happen for registered plugins): positional
   return {k: (vals[i].decode() if i < len(vals) else "")
           for i, k in enumerate(keys)}
 

@@ -105,6 +105,50 @@ def test_rollout_matches_c_serial():
       )
 
 
+def test_rollout_closed_loop_ctrl_fn_matches_c_callback():
+  """In-step control hook (mjcb_control analog, engine_forward.c:1108).
+
+  A PD feedback policy traced inside the ``lax.scan`` rollout must match
+  the C engine running the identical policy via ``mjcb_control``.
+  """
+  mjm, mjd, m, d = _setup(ACTUATED)
+  nstep = 25
+  nfull = support.state_size(m, StateFlag.FULLPHYSICS)
+
+  kp, kd = 2.0, 0.4
+  trn_id = np.asarray(mjm.actuator_trnid[:, 0])
+  qadr = np.asarray(mjm.jnt_qposadr[trn_id])
+  vadr = np.asarray(mjm.jnt_dofadr[trn_id])
+
+  def ctrl_fn(m_, d_):
+    return -kp * d_.qpos[qadr] - kd * d_.qvel[vadr]
+
+  init = np.zeros((1, nfull))
+  mujoco.mj_getState(mjm, mjd, init[0], StateFlag.FULLPHYSICS)
+
+  out = jax.jit(
+      lambda s: opt.rollout(m, mi.make_data(m), s, nstep=nstep,
+                            ctrl_fn=ctrl_fn)
+  )(jnp.asarray(init))
+
+  def c_callback(cm, cd):
+    cd.ctrl[:] = -kp * np.asarray(cd.qpos)[qadr] - kd * np.asarray(
+        cd.qvel)[vadr]
+
+  mujoco.mj_resetData(mjm, mjd)
+  mujoco.mj_setState(mjm, mjd, init[0], StateFlag.FULLPHYSICS)
+  mujoco.set_mjcb_control(c_callback)
+  try:
+    for t in range(nstep):
+      mujoco.mj_step(mjm, mjd)
+      ref = np.zeros(nfull)
+      mujoco.mj_getState(mjm, mjd, ref, StateFlag.FULLPHYSICS)
+      np.testing.assert_allclose(
+          out.state[0, t], ref, atol=1e-8, err_msg=f"step {t}")
+  finally:
+    mujoco.set_mjcb_control(None)
+
+
 def test_rollout_no_control():
   mjm, mjd, m, d = _setup(PENDULUM)
   nfull = support.state_size(m, StateFlag.FULLPHYSICS)
