@@ -360,13 +360,14 @@ def _put_flex(mjm, dtype) -> dict:
   )
 
 
-def validate_model(mjm) -> None:
+def validate_model(mjm, _user_sensor_ok: bool = False) -> None:
   """Raises NotImplementedError for any feature this engine cannot
   simulate faithfully — at load time, never silently.
 
   The feature-parity enforcement point, mirroring MJX's put_model device
   guards (reference ``mjx/mujoco/mjx/_src/io.py:47-153``): a model either
   loads and simulates with reference semantics, or refuses to load.
+  ``_user_sensor_ok``: set by put_model when a user_sensor_fn is supplied.
   """
   import mujoco
 
@@ -410,6 +411,17 @@ def validate_model(mjm) -> None:
       t = SensorType(mjm.sensor_type[i])
     except ValueError:
       t = None
+    if t == SensorType.PLUGIN:
+      # instance registration is checked above; whether the registered
+      # port implements the sensor hook is checked after build_instances
+      # in put_model (the plugin objects don't exist yet here)
+      continue
+    if t == SensorType.USER:
+      if not _user_sensor_ok:
+        bad("USER sensor without a user_sensor_fn (pass a traceable "
+            "(m, d, sensor_id) -> (dim,) callback to put_model — the "
+            "mjcb_sensor analog)")
+      continue
     if t is None or t not in _SUPPORTED_SENSORS:
       name = mujoco.mjtSensor(mjm.sensor_type[i]).name
       bad(f"sensor type {name}")
@@ -471,11 +483,17 @@ def validate_model(mjm) -> None:
 
 
 
-def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
-  """Converts a ``mujoco.MjModel`` into the TPU-native ``Model`` pytree."""
+def put_model(mjm, dtype=None, _keep_source: bool = True,
+              user_sensor_fn=None) -> Model:
+  """Converts a ``mujoco.MjModel`` into the TPU-native ``Model`` pytree.
+
+  ``user_sensor_fn``: traceable ``(m, d, sensor_id) -> (dim,)`` callback
+  evaluated for each ``mjSENS_USER`` sensor at its declared needstage —
+  the ``mjcb_sensor`` analog (ref ``engine_callback.c``).
+  """
   dtype = dtype or default_dtype()
 
-  validate_model(mjm)
+  validate_model(mjm, _user_sensor_ok=user_sensor_fn is not None)
 
   tree = build_tree_layout(
       _np(mjm.body_parentid), _np(mjm.body_jntnum), _np(mjm.dof_parentid),
@@ -561,6 +579,13 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       geom_solmix=_jx(mjm.geom_solmix, dtype),
       geom_rbound=_jx(mjm.geom_rbound, dtype),
       geom_rbound_np=_np(mjm.geom_rbound),
+      geom_plugin_np=_np(getattr(mjm, "geom_plugin",
+                                 np.full(int(mjm.ngeom), -1))),
+      geom_aabb_np=_np(mjm.geom_aabb).reshape(-1, 6),
+      mesh_pos_np=(_np(mjm.mesh_pos).reshape(-1, 3)
+                   if int(mjm.nmesh) else None),
+      mesh_quat_np=(_np(mjm.mesh_quat).reshape(-1, 4)
+                    if int(mjm.nmesh) else None),
       geom_fluid=_jx(mjm.geom_fluid, dtype),
       geom_fluid_active=_np(mjm.geom_fluid)[:, 0] > 0,
       geom_type=_np(mjm.geom_type),
@@ -649,6 +674,9 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
       sensor_adr=_np(mjm.sensor_adr),
       sensor_dim=_np(mjm.sensor_dim),
       sensor_needstage=_np(mjm.sensor_needstage),
+      sensor_plugin=_np(getattr(mjm, "sensor_plugin",
+                                np.full(int(mjm.nsensor), -1))),
+      user_sensor_fn=user_sensor_fn,
       qpos0=_jx(mjm.qpos0, dtype),
       qpos_spring=_jx(mjm.qpos_spring, dtype),
       stat_meaninertia=np.asarray(mjm.stat.meaninertia,
@@ -692,6 +720,27 @@ def put_model(mjm, dtype=None, _keep_source: bool = True) -> Model:
 
   if m.nflex:
     m = _append_flex_geoms(m, mjm, dtype)
+
+  # PLUGIN sensors must resolve to a port that implements the sensor hook
+  from mujoco_inversedynamicstest_tpu.plugins.registry import PluginInstance
+
+  for i in range(m.nsensor):
+    if m.sensor_type[i] == int(SensorType.PLUGIN):
+      inst = m.plugin_hooks[int(m.sensor_plugin[i])]
+      if type(inst).sensor is PluginInstance.sensor:
+        raise NotImplementedError(
+            f"unsupported by the TPU engine: sensor plugin '{inst.name}' "
+            "(port does not implement the sensor hook)")
+
+  # SDF geoms must resolve to a port exposing a distance function
+  for g in range(m.ngeom):
+    if m.geom_type[g] == int(GeomType.SDF):
+      pid = int(m.geom_plugin_np[g])
+      if pid < 0 or not hasattr(m.plugin_hooks[pid], "sdf"):
+        name = m.plugin_hooks[pid].name if pid >= 0 else "<none>"
+        raise NotImplementedError(
+            f"unsupported by the TPU engine: SDF geom backed by plugin "
+            f"'{name}' (port does not expose an sdf distance function)")
 
   # unsupported geom-pair signatures must also fail at load, not at trace
   from mujoco_inversedynamicstest_tpu.ops.collision import contact_layout
@@ -767,6 +816,12 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
       geom_solmix=cat(m.geom_solmix, np.asarray(m.flex_solmix)[vflex]),
       geom_rbound=cat(m.geom_rbound, radius),
       geom_rbound_np=catn([m.geom_rbound_np, radius]),
+      geom_plugin_np=catn([m.geom_plugin_np,
+                           np.full(nvert, -1, m.geom_plugin_np.dtype)]),
+      geom_aabb_np=catn([
+          m.geom_aabb_np,
+          np.concatenate([np.zeros((nvert, 3)),
+                          np.tile(radius[:, None], (1, 3))], axis=1)]),
       geom_fluid=cat(m.geom_fluid, np.zeros((nvert, 12))),
       geom_fluid_active=catn([m.geom_fluid_active, np.zeros(nvert, bool)]),
       geom_type=catn([m.geom_type,

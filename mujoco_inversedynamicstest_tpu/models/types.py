@@ -182,6 +182,8 @@ class SensorType(enum.IntEnum):
   E_POTENTIAL = 43
   E_KINETIC = 44
   CLOCK = 45
+  PLUGIN = 47
+  USER = 48
 
 
 class ConstraintType(enum.IntEnum):
@@ -594,10 +596,27 @@ class Model:
   # static host copy of geom_rbound for trace-time layout decisions
   # (hfield subgrid sizing); the jax leaf stays the runtime source
   geom_rbound_np: np.ndarray = static_field(default=None)
+  # SDF plugin geom support (ref engine_collision_sdf.c): per-geom plugin
+  # instance (mjModel.geom_plugin, -1 if none), geom-frame AABBs
+  # (center+half, from the compiler's sdf_aabb), and the mesh recentering
+  # poses needed to recover the SDF's own frame (undoTransformation,
+  # engine_collision_sdf.c:289)
+  geom_plugin_np: np.ndarray = static_field(default=None)   # (ngeom,)
+  geom_aabb_np: np.ndarray = static_field(default=None)     # (ngeom, 6)
+  mesh_pos_np: np.ndarray = static_field(default=None)      # (nmesh, 3)
+  mesh_quat_np: np.ndarray = static_field(default=None)     # (nmesh, 4)
   # engine plugin instances (plugins/registry.py PluginInstance tuple):
   # traceable hook closures over static per-instance data — the mjpPlugin
   # analog (ref include/mujoco/mjplugin.h:77-135)
   plugin_hooks: Tuple = static_field(default=())
+  # per-sensor plugin instance id (mjModel.sensor_plugin; -1 for
+  # non-plugin sensors) — PLUGIN sensors dispatch to
+  # plugin_hooks[sensor_plugin[i]].sensor(m, d, i)
+  sensor_plugin: np.ndarray = static_field(default=None)
+  # traceable user-sensor callback (m, d, sensor_id) -> (dim,): the
+  # mjcb_sensor analog (ref engine_callback.c, mjSENS_USER) — passed to
+  # put_model by the user, fired at the sensor's declared needstage
+  user_sensor_fn: object = static_field(default=None)
   # contact budgeting (MJX-compatible <numeric> customs; -1 = unlimited,
   # ref mjx/mujoco/mjx/_src/collision_driver.py:336-372)
   max_contact_points: int = static_field(default=-1)

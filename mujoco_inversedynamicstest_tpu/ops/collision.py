@@ -71,6 +71,20 @@ from mujoco_inversedynamicstest_tpu.ops.hfield import (  # noqa: E402
 
 _PAIR_SLOTS.update(_HFIELD_SLOTS)
 
+# SDF plugin geom pairs (ops/collision_sdf.py make_plugin_narrowphase;
+# ref mjc_SDF, engine_collision_sdf.c:660)
+from mujoco_inversedynamicstest_tpu.ops.collision_sdf import (  # noqa: E402
+    SDF_PLUGIN_SLOTS as _SDF_PLUGIN_SLOTS,
+)
+
+_PAIR_SLOTS.update({
+    (GeomType.PLANE, GeomType.SDF): _SDF_PLUGIN_SLOTS,
+    (GeomType.SPHERE, GeomType.SDF): _SDF_PLUGIN_SLOTS,
+    (GeomType.CAPSULE, GeomType.SDF): _SDF_PLUGIN_SLOTS,
+    (GeomType.BOX, GeomType.SDF): _SDF_PLUGIN_SLOTS,
+    (GeomType.SDF, GeomType.SDF): _SDF_PLUGIN_SLOTS,
+})
+
 # pairs whose kernels need hull topology (grouped per distinct mesh pair)
 _CONVEX_KEYS = {
     (GeomType.PLANE, GeomType.MESH),
@@ -217,6 +231,11 @@ def contact_layout(m: Model) -> ContactLayout:
       # hfield grids are per-geom static data, like hulls
       did1 = int(m.geom_dataid[g1])
       did2 = int(m.geom_dataid[g2]) if m.geom_type[g2] == GeomType.MESH else -1
+    elif GeomType(key[1]) == GeomType.SDF:
+      # SDF plugin geoms carry per-geom static data (plugin instance +
+      # mesh recentering + aabb): group per geom id
+      did1 = int(g1) if m.geom_type[g1] == GeomType.SDF else -1
+      did2 = int(g2)
     else:
       did1 = did2 = -1
     ordered.append((key, did1, did2, g1, g2, ip, condim))
@@ -590,6 +609,10 @@ def _group_narrowphase(m: Model, grp: PairGroup) -> Callable:
   key_int = (int(grp.types[0]), int(grp.types[1]))
   if key_int in _SDF_NARROWPHASE:
     return _SDF_NARROWPHASE[key_int]
+  if GeomType(grp.types[1]) == GeomType.SDF:
+    from mujoco_inversedynamicstest_tpu.ops import collision_sdf as csdf
+
+    return csdf.make_plugin_narrowphase(m, grp)
   if GeomType(grp.types[0]) == GeomType.HFIELD:
     from mujoco_inversedynamicstest_tpu.ops import hfield as hfield_mod
 

@@ -381,6 +381,8 @@ def smooth_vel_deriv(m: Model, d: Data, flg_bias: bool = True,
   approximation).  ``d`` must hold a completed position stage.
   """
 
+  from mujoco_inversedynamicstest_tpu.ops import linalg
+
   def f(qvel):
     dd = d.replace(qvel=qvel)
     dd = fwd_velocity(m, dd)
@@ -392,7 +394,8 @@ def smooth_vel_deriv(m: Model, d: Data, flg_bias: bool = True,
       out = out + dd.qfrc_actuator
     return out
 
-  return jax.jacfwd(f)(d.qvel)
+  with linalg.lean_compile():
+    return jax.jacfwd(f)(d.qvel)
 
 
 def implicit(m: Model, d: Data) -> Data:

@@ -20,6 +20,8 @@ dispatches one kernel over the entire batch.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from functools import partial
 
 import jax
@@ -196,28 +198,92 @@ def _chol_unrolled(h: jax.Array) -> jax.Array:
   return jnp.stack(cols, axis=2)
 
 
-def _solve_unrolled(l: jax.Array, rhs: jax.Array) -> jax.Array:
-  """(B, n, n) lower factor + (B, n[, k]) rhs -> solution of L L^T x = b."""
-  n = l.shape[-1]
-  extra = rhs.ndim - 2  # trailing rhs dims beyond (B, n)
+# ---------------------------------------------------------------------------
+# Scan-over-pivots batched kernels (compile-lean variants).
+#
+# The unrolled kernels trace O(n) pivot stages into the graph; under
+# ``jacfwd`` linearization (the MPC transition Jacobian) each stage is
+# JVP-expanded and the compile cost explodes — measured 201 s to compile
+# jacfwd(factor∘solve) at (2048, 27) f32 on TPU vs 5.8 s for the scan
+# forms (whose jacfwd is a scan of the JVP body: O(1) graph).  Runtime on
+# the same shape: factor 5.6 ms scan vs 3.2 unrolled (slower — masked
+# full-matrix updates), solve 4.3 ms scan vs 6.3 unrolled (faster).  So:
+# solve is always scan on TPU; factor is unrolled in plain step programs
+# and switches to scan inside ``lean_compile()`` regions (MPC
+# linearization, fleet programs) where compile time dominates.
+# ---------------------------------------------------------------------------
 
-  def c(i, j):
-    v = l[:, i, j]
+_LEAN = threading.local()
+
+
+@contextlib.contextmanager
+def lean_compile(enable: bool = True):
+  """Within this context, batched factorizations trace the O(1)-graph
+  scan kernels instead of the unrolled ones (for jacfwd-heavy programs)."""
+  prev = getattr(_LEAN, "on", False)
+  _LEAN.on = enable
+  try:
+    yield
+  finally:
+    _LEAN.on = prev
+
+
+def _lean_on() -> bool:
+  return getattr(_LEAN, "on", False)
+
+
+def _chol_scan(h: jax.Array) -> jax.Array:
+  """(B, n, n) -> lower factor via ``lax.scan`` over pivots.
+
+  Right-looking with masked trailing updates; same pivot clamp as the
+  unrolled kernel.  Compile size is O(1) in n (one scan body).
+  """
+  n = h.shape[-1]
+  minval = jnp.asarray(1e-15, h.dtype)
+  idx = jnp.arange(n)
+
+  def body(a, k):
+    pivot = jnp.sqrt(jnp.maximum(a[:, k, k], minval))          # (B,)
+    col = jnp.where(idx >= k, a[:, :, k] / pivot[:, None], 0.0)  # (B, n)
+    mask = idx > k
+    upd = col[:, :, None] * col[:, None, :]
+    upd = jnp.where(mask[None, :, None] & mask[None, None, :], upd, 0.0)
+    a = (a - upd).at[:, :, k].set(col)
+    return a, None
+
+  a, _ = jax.lax.scan(body, h, jnp.arange(n))
+  return jnp.where(idx[None, :, None] >= idx[None, None, :], a, 0.0)
+
+
+def _solve_scan(l: jax.Array, rhs: jax.Array) -> jax.Array:
+  """(B, n, n) lower factor + (B, n[, k...]) rhs -> L L^T x = b, via two
+  masked ``lax.scan`` substitutions (O(1) compile; beats the unrolled
+  form at runtime too — fewer, wider fused ops)."""
+  n = l.shape[-1]
+  extra = rhs.ndim - 2
+  idx = jnp.arange(n)
+
+  def exp(v):  # (B,) or (B, n) -> append rhs' trailing dims
     return v.reshape(v.shape + (1,) * extra)
 
-  y = []
-  for i in range(n):
-    acc = rhs[:, i]
-    for j in range(i):
-      acc = acc - c(i, j) * y[j]
-    y.append(acc / c(i, i))
-  x = [None] * n
-  for i in range(n - 1, -1, -1):
-    acc = y[i]
-    for j in range(i + 1, n):
-      acc = acc - c(j, i) * x[j]
-    x[i] = acc / c(i, i)
-  return jnp.stack(x, axis=1)
+  def fwd(y, k):
+    lk = l[:, :, k]                                 # column k
+    yk = jnp.take(y, k, axis=1) / exp(l[:, k, k])   # (B, *extra)
+    y = y - exp(jnp.where(idx > k, lk, 0.0)) * yk[:, None]
+    y = y.at[:, k].set(yk)
+    return y, None
+
+  y, _ = jax.lax.scan(fwd, rhs, jnp.arange(n))
+
+  def bwd(x, k):
+    lk = l[:, k, :]                                 # row k
+    xk = jnp.take(x, k, axis=1) / exp(l[:, k, k])
+    x = x - exp(jnp.where(idx < k, lk, 0.0)) * xk[:, None]
+    x = x.at[:, k].set(xk)
+    return x, None
+
+  x, _ = jax.lax.scan(bwd, y, jnp.arange(n - 1, -1, -1))
+  return x
 
 
 def _use_unrolled(batch: int, n: int) -> bool:
@@ -256,6 +322,8 @@ def _chol_factor_vmap(axis_size, in_batched, h):
     if _use_pallas(h.shape[0], h.shape[1]):
       return _pallas_chol(h), True
     if _use_unrolled(h.shape[0], h.shape[1]):
+      if _lean_on():
+        return _chol_scan(h), True
       return _chol_unrolled(h), True
   return jnp.linalg.cholesky(h), h_batched
 
@@ -279,7 +347,8 @@ def _chol_solve_vmap(axis_size, in_batched, l, b):
     bb = b if b_batched else jnp.broadcast_to(b, (axis_size,) + b.shape)
     if lb.ndim == 3 and bb.ndim in (2, 3) and _use_unrolled(
         lb.shape[0], lb.shape[1]):
-      return _solve_unrolled(lb, bb), True
+      # scan substitution wins at runtime AND compiles O(1) — always use it
+      return _solve_scan(lb, bb), True
     return jax.vmap(
         lambda li, bi: jax.scipy.linalg.cho_solve((li, True), bi)
     )(lb, bb), True

@@ -9,8 +9,10 @@ post-processing follows ``apply_cutoff`` (ref :40).
 Covered: the full pos/vel/acc scalar + frame + subtree set, touch
 (site-zone ray binning, ref :750), rangefinder (ref :266), camera
 projection (ref :126), and geomdist/geomnormal/geomfromto via the
-narrowphase-backed ``mj_geomDistance`` analog (ref :378).  Plugin/user
-sensors are rejected at put_model.
+narrowphase-backed ``mj_geomDistance`` analog (ref :378).  PLUGIN sensors
+dispatch to the registered port's sensor hook (plugins/registry.py);
+USER sensors call the model's ``user_sensor_fn`` (the ``mjcb_sensor``
+analog) — both at their declared needstage.
 """
 
 from __future__ import annotations
@@ -212,6 +214,11 @@ def sensor_pos(m: Model, d: Data) -> Data:
         sd = _write(sd, adr, jnp.where(nn > 1e-15, n / nn, n * 0.0))
       else:
         sd = _write(sd, adr, fromto)
+    elif t == S.PLUGIN:
+      inst = m.plugin_hooks[int(m.sensor_plugin[i])]
+      sd = _write(sd, adr, inst.sensor(m, d, i))
+    elif t == S.USER:
+      sd = _write(sd, adr, m.user_sensor_fn(m, d, i))
     else:
       raise NotImplementedError(f"POS sensor {t.name}")
 
@@ -346,6 +353,11 @@ def sensor_vel(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, _limit_row(m, d, t, objid, "vel"))
     elif t == S.E_KINETIC:
       sd = _write(sd, adr, energy_vel(m, d))
+    elif t == S.PLUGIN:
+      inst = m.plugin_hooks[int(m.sensor_plugin[i])]
+      sd = _write(sd, adr, inst.sensor(m, d, i))
+    elif t == S.USER:
+      sd = _write(sd, adr, m.user_sensor_fn(m, d, i))
     else:
       raise NotImplementedError(f"VEL sensor {t.name}")
 
@@ -399,6 +411,11 @@ def sensor_acc(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, _limit_row(m, d, t, objid, "force"))
     elif t == S.TOUCH:
       sd = _write(sd, adr, _touch(m, d, objid))
+    elif t == S.PLUGIN:
+      inst = m.plugin_hooks[int(m.sensor_plugin[i])]
+      sd = _write(sd, adr, inst.sensor(m, d, i))
+    elif t == S.USER:
+      sd = _write(sd, adr, m.user_sensor_fn(m, d, i))
     else:
       raise NotImplementedError(f"ACC sensor {t.name}")
 

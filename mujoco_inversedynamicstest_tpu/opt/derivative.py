@@ -124,12 +124,18 @@ def transition_ad(m: Model, d: Data, flg_sensor: bool = False) -> Transition:
   through ``step`` (solver ``while_loop`` included).  ``d`` must hold a
   completed forward pass (as the reference requires).
   """
+  from mujoco_inversedynamicstest_tpu.ops import linalg
+
   nx, nu = state_dim(m), m.nu
-  d_next = forward_mod.step(m, d)
-  z0 = jnp.zeros(nx + nu, dtype=d.qpos.dtype)
-  jac_y, jac_s = jax.jacfwd(
-      lambda z: _step_measured(m, d, d_next, z, flg_sensor)
-  )(z0)
+  # lean mode: jacfwd multiplies the traced step graph by the tangent
+  # batch; the scan-form factorizations keep the compile O(1) in nv
+  # (194 s -> minutes-less MPC compiles, see linalg.py)
+  with linalg.lean_compile():
+    d_next = forward_mod.step(m, d)
+    z0 = jnp.zeros(nx + nu, dtype=d.qpos.dtype)
+    jac_y, jac_s = jax.jacfwd(
+        lambda z: _step_measured(m, d, d_next, z, flg_sensor)
+    )(z0)
   C = jac_s[:, :nx] if flg_sensor else None
   D = jac_s[:, nx:] if flg_sensor else None
   return Transition(A=jac_y[:, :nx], B=jac_y[:, nx:], C=C, D=D)
@@ -194,9 +200,12 @@ def inverse_ad(m: Model, d: Data) -> InverseJac:
   """Exact inverse-dynamics Jacobians via ``jacfwd`` (TPU-native
   replacement for ``mjd_inverseFD``, reference
   ``engine_derivative_fd.c:611``)."""
+  from mujoco_inversedynamicstest_tpu.ops import linalg
+
   nv = m.nv
   z0 = jnp.zeros(3 * nv, dtype=d.qpos.dtype)
-  jac = jax.jacfwd(lambda z: _inverse_f(m, d, z))(z0)
+  with linalg.lean_compile():
+    jac = jax.jacfwd(lambda z: _inverse_f(m, d, z))(z0)
   return InverseJac(
       dfdq=jac[:, :nv], dfdv=jac[:, nv:2 * nv], dfda=jac[:, 2 * nv:]
   )

@@ -49,6 +49,13 @@ class PluginInstance:
     """Returns the updated (nu,) actuator force vector, or None."""
     return None
 
+  def sensor(self, m, d, sensor_id):
+    """Returns the (sensor_dim,) reading for a PLUGIN sensor (the
+    mjPLUGIN_SENSOR compute hook, dispatched at the sensor's declared
+    needstage).  put_model refuses plugin sensors whose port leaves this
+    base implementation in place."""
+    return None
+
 
 def register_plugin(name: str, factory: Callable) -> None:
   """Registers ``factory(mjm, instance_id, dtype) -> PluginInstance``."""

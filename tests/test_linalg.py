@@ -63,6 +63,66 @@ def test_pallas_chol_asymmetric_input_regression():
                              atol=1e-8)
 
 
+@pytest.mark.parametrize("n", [2, 5, 27])
+def test_unrolled_and_scan_kernels_match_lapack(n):
+  """The TPU kernels (unrolled + scan factor/solve) are exact vs numpy.
+
+  On the CPU test backend the public wrappers dispatch to LAPACK, so the
+  TPU code paths are exercised directly here (they are pure jnp)."""
+  rng = np.random.RandomState(3)
+  B = 32
+  A = rng.randn(B, n, n)
+  H = np.einsum("bij,bkj->bik", A, A) + 3.0 * np.eye(n)
+  b = rng.randn(B, n)
+  bmat = rng.randn(B, n, 2)
+  Lref = np.linalg.cholesky(H)
+  xref = np.linalg.solve(H, b[..., None])[..., 0]
+  xmref = np.linalg.solve(H, bmat)
+
+  for factor in (linalg._chol_unrolled, linalg._chol_scan):
+    L = np.asarray(jax.jit(factor)(jnp.asarray(H)))
+    np.testing.assert_allclose(L, Lref, atol=1e-10, err_msg=factor.__name__)
+
+  x = np.asarray(jax.jit(linalg._solve_scan)(jnp.asarray(Lref),
+                                             jnp.asarray(b)))
+  np.testing.assert_allclose(x, xref, atol=1e-10)
+  xm = np.asarray(jax.jit(linalg._solve_scan)(jnp.asarray(Lref),
+                                              jnp.asarray(bmat)))
+  np.testing.assert_allclose(xm, xmref, atol=1e-10)
+
+
+def test_scan_kernels_jacfwd_matches_unrolled():
+  """jacfwd through the scan kernels (the lean_compile MPC path) agrees
+  with jacfwd through the unrolled kernels."""
+  rng = np.random.RandomState(4)
+  n, B = 5, 8
+  A = rng.randn(B, n, n)
+  H = jnp.asarray(np.einsum("bij,bkj->bik", A, A) + 3.0 * np.eye(n))
+  b = jnp.asarray(rng.randn(B, n))
+  eye = jnp.eye(n)
+
+  def make(factor):
+    def f(v):
+      Hp = H + v[None, :, None] * eye[None]
+      return linalg._solve_scan(factor(Hp), b).sum(0)
+    return jax.jacfwd(f)
+
+  v0 = jnp.zeros(n)
+  j_unrolled = np.asarray(make(linalg._chol_unrolled)(v0))
+  j_scan = np.asarray(make(linalg._chol_scan)(v0))
+  np.testing.assert_allclose(j_scan, j_unrolled, atol=1e-9)
+
+
+def test_lean_compile_context():
+  assert not linalg._lean_on()
+  with linalg.lean_compile():
+    assert linalg._lean_on()
+    with linalg.lean_compile(False):
+      assert not linalg._lean_on()
+    assert linalg._lean_on()
+  assert not linalg._lean_on()
+
+
 def test_chol_wrappers_match_jnp():
   """The public chol_factor/chol_solve wrappers (jnp path on CPU) agree
   with scipy for batched and unbatched calls."""

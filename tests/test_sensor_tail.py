@@ -117,3 +117,66 @@ def test_reference_sensor_corpus():
         err_msg=f"sensor corpus file {f}")
     ran += 1
   assert ran > 0, "no corpus file exercised"
+
+
+def test_user_sensor_matches_mjcb_sensor():
+  """USER sensors run a traceable callback at their declared stage (the
+  mjcb_sensor analog, ref engine_callback.c / mjSENS_USER) and match the
+  C engine running the identical callback."""
+  xml = """
+  <mujoco>
+    <worldbody>
+      <body pos="0 0 1">
+        <joint name="j0" type="hinge" axis="0 1 0"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="1"/>
+      </body>
+    </worldbody>
+    <sensor>
+      <user dim="2" needstage="vel" datatype="real"/>
+      <user dim="1" needstage="pos" datatype="real"/>
+    </sensor>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+
+  def user_fn(m_, d_, sid):
+    if sid == 0:
+      return jnp.stack([d_.qvel[0], 3.0 * d_.qpos[0]])
+    return 2.0 * d_.qpos[0:1]
+
+  m = mi.put_model(mjm, user_sensor_fn=user_fn)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[0] = 0.4
+  mjd.qvel[0] = -0.7
+
+  def c_cb(cm, cd, stage):
+    if stage == mujoco.mjtStage.mjSTAGE_POS:
+      cd.sensordata[2] = 2.0 * cd.qpos[0]
+    if stage == mujoco.mjtStage.mjSTAGE_VEL:
+      cd.sensordata[0] = cd.qvel[0]
+      cd.sensordata[1] = 3.0 * cd.qpos[0]
+
+  mujoco.set_mjcb_sensor(c_cb)
+  try:
+    mujoco.mj_forward(mjm, mjd)
+  finally:
+    mujoco.set_mjcb_sensor(None)
+
+  d = jax.jit(lambda dd: mi.forward(m, dd))(mi.put_data(m, mjd))
+  np.testing.assert_allclose(np.asarray(d.sensordata), mjd.sensordata,
+                             atol=1e-12)
+
+
+def test_user_sensor_without_fn_refused():
+  xml = """
+  <mujoco>
+    <worldbody>
+      <body pos="0 0 1"><joint type="hinge"/><geom type="sphere"
+        size="0.05" mass="1"/></body>
+    </worldbody>
+    <sensor><user dim="1" needstage="pos" datatype="real"/></sensor>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  with pytest.raises(NotImplementedError, match="USER sensor"):
+    mi.put_model(mjm)
