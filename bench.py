@@ -81,8 +81,14 @@ def measure_step_throughput(mi, m, d0):
 
 def measure_single_scene_latency(mi, m, d0):
   """Batch=1 steps/s — the documented accelerator single-scene caveat
-  (reference ``doc/mjx.rst:312-313``: ~10x slower than CPU MuJoCo)."""
-  step = jax.jit(lambda dd: mi.step(m, dd))
+  (reference ``doc/mjx.rst:312-313``: ~10x slower than CPU MuJoCo).
+
+  Two numbers: per-step dispatch (one jitted step per host call — the
+  interactive viewer pattern) and the fused ``step_n`` path (100 steps
+  per dispatch with donated buffers — the pattern latency-sensitive
+  users should adopt).
+  """
+  step = jax.jit(lambda dd: mi.step(m, dd), donate_argnums=0)
   d = step(d0)
   d.qpos.block_until_ready()
   n = 200
@@ -90,14 +96,32 @@ def measure_single_scene_latency(mi, m, d0):
   for _ in range(n):
     d = step(d)
   d.qpos.block_until_ready()
-  return n / (time.perf_counter() - t0)
+  per_step = n / (time.perf_counter() - t0)
+
+  stepn = jax.jit(lambda dd: mi.step_n(m, dd, 100), donate_argnums=0)
+  d = stepn(mi.make_data(m))
+  d.qpos.block_until_ready()
+  t0 = time.perf_counter()
+  for _ in range(5):
+    d = stepn(d)
+  d.qpos.block_until_ready()
+  fused = 500 / (time.perf_counter() - t0)
+  return per_step, fused
 
 
 def measure_stage_breakdown(mi, m, d0, batch=512, reps=20):
-  """Per-stage wall times at batch size, the ``testspeed`` breakdown
-  analog (reference ``sample/testspeed.cc:235-238`` prints per-mjtTimer
-  stage shares; here each pipeline stage is timed as its own jitted
-  batched program on a converged state)."""
+  """Per-stage time shares by *cumulative prefix differencing*, the
+  ``testspeed`` breakdown analog (reference ``sample/testspeed.cc:235-238``
+  prints per-mjtTimer stage shares).
+
+  Each prefix program (stages 1..k) compiles as ONE fused computation, so
+  intra-prefix fusion matches the real step; the share of stage k is
+  ``t(1..k) − t(1..k−1)``.  Unlike timing each stage as its own program
+  (the r3 method, which loses all cross-stage fusion and was flagged as
+  untrustworthy), the only fusion this misses is across the trailing
+  prefix boundary.  Negative differences (a longer prefix fusing
+  *better* than a shorter one) are clamped to 0 and renormalized.
+  """
   import jax
 
   rng = np.random.RandomState(1)
@@ -109,30 +133,37 @@ def measure_stage_breakdown(mi, m, d0, batch=512, reps=20):
   from mujoco_inversedynamicstest_tpu.ops import forward as fwd_mod
   from mujoco_inversedynamicstest_tpu.ops import solver as solver_mod
 
-  stages = {
-      "position": fwd_mod.fwd_position,
-      "velocity": fwd_mod.fwd_velocity,
-      "actuation": fwd_mod.fwd_actuation,
-      "acceleration": fwd_mod.fwd_acceleration,
-      "constraint": solver_mod.fwd_constraint,
-  }
-  # stages consume the outputs of their predecessors: build the chain once
-  out = {}
-  d_in = ds
-  total = 0.0
-  for name, fn in stages.items():
-    jf = jax.jit(jax.vmap(lambda dd, f=fn: f(m, dd)))
-    d_next = jf(d_in)
-    jax.block_until_ready(d_next.qpos)
+  stages = [
+      ("position", fwd_mod.fwd_position),
+      ("velocity", fwd_mod.fwd_velocity),
+      ("actuation", fwd_mod.fwd_actuation),
+      ("acceleration", fwd_mod.fwd_acceleration),
+      ("constraint", solver_mod.fwd_constraint),
+  ]
+
+  def prefix_fn(k):
+    def run(dd):
+      for _, fn in stages[:k]:
+        dd = fn(m, dd)
+      return dd
+    return jax.jit(jax.vmap(run))
+
+  times = [0.0]
+  for k in range(1, len(stages) + 1):
+    jf = prefix_fn(k)
+    r = jf(ds)
+    jax.block_until_ready(r.qpos)
     t0 = time.perf_counter()
     for _ in range(reps):
-      r = jf(d_in)
+      r = jf(ds)
     jax.block_until_ready(r.qpos)
-    dt = (time.perf_counter() - t0) / reps
-    out[name] = dt
-    total += dt
-    d_in = d_next
-  return {k: round(v / total, 4) for k, v in out.items()}
+    times.append((time.perf_counter() - t0) / reps)
+
+  diffs = [max(times[k] - times[k - 1], 0.0)
+           for k in range(1, len(times))]
+  total = max(sum(diffs), 1e-12)
+  return {name: round(dt / total, 4)
+          for (name, _), dt in zip(stages, diffs)}
 
 
 def measure_humanoid100(mi):
@@ -286,10 +317,11 @@ def main():
   d0 = mi.make_data(m)
 
   steps_per_sec = measure_step_throughput(mi, m, d0)
-  single_latency = measure_single_scene_latency(mi, m, d0)
+  single_latency, single_fused = measure_single_scene_latency(mi, m, d0)
 
   extra = {
       "single_scene_steps_per_sec": round(single_latency, 1),
+      "single_scene_steps_per_sec_fused_step_n": round(single_fused, 1),
       "step_throughput_steps_per_sec_per_chip": round(steps_per_sec, 1),
       "step_throughput_vs_mjx_tpu_v5e_baseline": round(
           steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),

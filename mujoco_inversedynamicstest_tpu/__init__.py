@@ -52,6 +52,7 @@ from mujoco_inversedynamicstest_tpu.ops.forward import (
     fwd_velocity,
     rungekutta4,
     step,
+    step_n,
 )
 from mujoco_inversedynamicstest_tpu.ops.inverse import (
     compare_fwd_inv,

@@ -353,6 +353,13 @@ def _put_flex(mjm, dtype) -> dict:
       flex_condim=_np(mjm.flex_condim),
       flex_priority=_np(mjm.flex_priority),
       flex_vertflexid=vertflexid,
+      flex_elemlayer_np=_np(mjm.flex_elemlayer),
+      flex_internal_np=_np(mjm.flex_internal).astype(bool),
+      flex_evpair_np=(_np(mjm.flex_evpair).reshape(-1, 2)
+                      if int(getattr(mjm, "nflexevpair", 0))
+                      else np.zeros((0, 2), np.int32)),
+      flex_evpairadr_np=_np(mjm.flex_evpairadr),
+      flex_evpairnum_np=_np(mjm.flex_evpairnum),
       has_flex_elasticity=bool(np.any(np.abs(metric) > 0)),
       has_flex_edge_sd=bool(
           np.any(_np(mjm.flex_edgestiffness) > 0)
@@ -389,13 +396,10 @@ def validate_model(mjm, _user_sensor_ok: bool = False) -> None:
       bad("flex nodal dofs")
     if mjm.flex_selfcollide[f] not in (0,):  # mjFLEXSELF_NONE
       bad("flex self-collision")
-    # the reference generates internal element-vertex contacts whenever a
-    # non-rigid flex is collidable and flex_internal is set (the MJCF
-    # default; ref engine_collision_driver.c:443, user_init.c:232) — this
-    # engine never simulates them, so refuse rather than silently diverge
-    if (mjm.flex_internal[f] and not mjm.flex_rigid[f]
-        and (mjm.flex_contype[f] & mjm.flex_conaffinity[f])):
-      bad("flex internal collisions (set internal='false')")
+    # flex internal contacts (element-vertex evpairs + dim-3 within-tet
+    # faces) are simulated at element level (ops/flexcol.py; ref
+    # mj_collideFlexInternal, engine_collision_driver.c:1726) — the
+    # MJCF default internal="true" loads unedited
   if getattr(mjm, "nplugin", 0):
     # resolvable through the plugin registry (build_instances raises for
     # unknown names); actually built in put_model
@@ -451,8 +455,8 @@ def validate_model(mjm, _user_sensor_ok: bool = False) -> None:
       for ot in (mjm.sensor_objtype[i], max(mjm.sensor_reftype[i], 0)):
         if ot not in (int(ObjType.UNKNOWN), int(ObjType.BODY),
                       int(ObjType.XBODY), int(ObjType.GEOM),
-                      int(ObjType.SITE)):
-          bad(f"frame sensor attached to objtype {ot} (camera frames)")
+                      int(ObjType.SITE), int(ObjType.CAMERA)):
+          bad(f"frame sensor attached to objtype {ot}")
 
   for i in range(mjm.neq):
     # DISTANCE was removed from the reference in MuJoCo 2.2.2 (its own
@@ -771,15 +775,25 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
   contype = m.flex_contype[vflex]
   conaff = m.flex_conaffinity[vflex]
 
-  # the vertex-sphere approximation leaves concave gaps between adjacent
-  # spheres; a geom smaller than the gap can tunnel through an element
-  # interior where the reference's inflated-element narrowphase
-  # (mj_collideFlexSAP, engine_collision_driver.c:458) would contact.
-  # Surface the failure mode at load instead of silently.
+  # sphere and capsule partners collide at element level (ops/flexcol.py)
+  # with no concave gaps; other partner types (box/mesh/...) keep the
+  # vertex-sphere approximation, which leaves gaps between adjacent
+  # spheres where the reference's element narrowphase (mjc_ConvexElem)
+  # would contact.  Surface the remaining failure mode at load.
   import warnings
 
+  from mujoco_inversedynamicstest_tpu.ops.flexcol import (
+      _ELEM_PARTNER_TYPES,
+  )
+
+  gtype_np = np.asarray(mjm.geom_type)
+  has_fallback_partner = bool(np.any(
+      ~np.isin(gtype_np, list(_ELEM_PARTNER_TYPES) + [int(GeomType.PLANE)])
+  ))
   for f in range(int(mjm.nflex)):
     if not (mjm.flex_contype[f] & mjm.flex_conaffinity[f]):
+      continue
+    if not has_fallback_partner or int(mjm.flex_dim[f]) < 1:
       continue
     ea, en = int(mjm.flex_edgeadr[f]), int(mjm.flex_edgenum[f])
     if en == 0:
@@ -788,10 +802,11 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
     gap = max_edge / 2.0 - float(mjm.flex_radius[f])
     if gap > 0:
       warnings.warn(
-          f"flex {f}: vertex-sphere collision leaves up to {gap:.4g} m "
-          f"concave gaps between adjacent spheres (edge {max_edge:.4g} m, "
-          f"radius {float(mjm.flex_radius[f]):.4g} m); geoms smaller than "
-          "the gap may tunnel through element interiors", stacklevel=3)
+          f"flex {f}: box/mesh partners use vertex-sphere collision, "
+          f"leaving up to {gap:.4g} m concave gaps (edge {max_edge:.4g} "
+          f"m, radius {float(mjm.flex_radius[f]):.4g} m); sphere/capsule "
+          "partners collide at element level and are unaffected",
+          stacklevel=3)
   radius = np.asarray(m.flex_radius)[vflex]
   centered = m.flex_centered[vflex]
   local = np.where(centered[:, None], 0.0, np.asarray(m.flex_vert))

@@ -545,6 +545,14 @@ class Model:
   flex_priority: np.ndarray = static_field(default=None)    # (nflex,)
   flex_solmix: jax.Array = None                             # (nflex,)
   flex_vertflexid: np.ndarray = static_field(default=None)  # (nflexvert,)
+  # internal-contact tables (mj_collideFlexInternal, ref
+  # engine_collision_driver.c:1726): per-flex internal flag + the
+  # compiler's predefined element-vertex pair list
+  flex_elemlayer_np: np.ndarray = static_field(default=None)  # (nflexelem,)
+  flex_internal_np: np.ndarray = static_field(default=None)   # (nflex,)
+  flex_evpair_np: np.ndarray = static_field(default=None)     # (nev, 2)
+  flex_evpairadr_np: np.ndarray = static_field(default=None)  # (nflex,)
+  flex_evpairnum_np: np.ndarray = static_field(default=None)  # (nflex,)
   has_flex_elasticity: bool = static_field(default=False)
   has_flex_edge_sd: bool = static_field(default=False)
 
@@ -662,6 +670,13 @@ class Contact:
   geom2: jax.Array = None      # (ncon,) int
   efc_address: np.ndarray = static_field(default=None)  # (ncon,) int
   dim: np.ndarray = static_field(default=None)          # (ncon,) int
+  # flex element contacts: per-side body sets + L2-normalized
+  # inverse-distance weights (mj_elemBodyWeight analog, ref
+  # engine_core_constraint.c:171); None unless the model has flex
+  # element/internal contact groups (plain geom slots then carry
+  # (geom_bodyid, 1, 0, 0, 0) rows)
+  bary_body: jax.Array = None  # (ncon, 2, 4) int32
+  bary_w: jax.Array = None     # (ncon, 2, 4)
 
 
 @pytree

@@ -134,6 +134,10 @@ class ContactLayout(NamedTuple):
   full_dim: np.ndarray = None
   # per condim value: (condim, full-slot indices, kept count)
   reduce_groups: Tuple = ()
+  # flex element-contact groups (ops/flexcol.py), appended after the
+  # geom-pair slots; has_bary marks that Contact carries bary fields
+  elem_groups: Tuple = ()
+  has_bary: bool = False
 
 
 def _mix_condim(m: Model, g1: int, g2: int) -> int:
@@ -193,6 +197,24 @@ def contact_layout(m: Model) -> ContactLayout:
       f1 = m.geom_flexid[tri1]
       f2 = m.geom_flexid[tri2]
       keep &= ~((f1 >= 0) & (f1 == f2))
+
+      # vertex pairs superseded by element-level narrowphase: sphere and
+      # capsule partners of dim>=1 flexes collide against the *elements*
+      # (ops/flexcol.py; ref mj_collideGeomElem) — their vertex-sphere
+      # pairs would double-count the same surface
+      from mujoco_inversedynamicstest_tpu.ops import flexcol
+
+      t1a = m.geom_type[tri1]
+      t2a = m.geom_type[tri2]
+      fdim = np.asarray(m.flex_dim)
+      one_flex = (f1 >= 0) != (f2 >= 0)
+      partner_t = np.where(f1 >= 0, t2a, t1a)
+      flex_dim_of = np.where(
+          f1 >= 0, fdim[np.maximum(f1, 0)], fdim[np.maximum(f2, 0)])
+      drop = (one_flex
+              & np.isin(partner_t, flexcol._ELEM_PARTNER_TYPES)
+              & (flex_dim_of >= 1))
+      keep &= ~drop
 
     if len(m.pair_geom1):
       ex1 = np.concatenate([m.pair_geom1, m.pair_geom2]).astype(np.int64)
@@ -270,6 +292,14 @@ def contact_layout(m: Model) -> ContactLayout:
       slot_g2 += [-1] * nslot
       slot_dim += [condim] * nslot
 
+  # flex element-contact groups (external narrowphase + internal pairs;
+  # ops/flexcol.py) append their slots after the geom-pair slots
+  from mujoco_inversedynamicstest_tpu.ops import flexcol
+
+  elem_groups = flexcol.build_elem_groups(m) if m.nflex else ()
+  for eg in elem_groups:
+    slot_dim += [eg.condim] * (eg.npair_run * eg.nslot)
+
   from mujoco_inversedynamicstest_tpu.models.types import ConeType
 
   elliptic = m.opt.cone == ConeType.ELLIPTIC
@@ -305,6 +335,8 @@ def contact_layout(m: Model) -> ContactLayout:
       ncon_full=len(full_dim),
       full_dim=full_dim,
       reduce_groups=tuple(reduce_groups),
+      elem_groups=elem_groups,
+      has_bary=bool(elem_groups),
   )
 
 
@@ -784,6 +816,46 @@ def collision(m: Model, d: Data) -> Data:
     geom1s.append(rep(jnp.asarray(g1)))
     geom2s.append(rep(jnp.asarray(g2)))
 
+  # flex element-contact groups (ops/flexcol.py): one slot per pair, with
+  # element-side body/weight sets riding along
+  bary_bodies, bary_ws = [], []
+  if lay.has_bary:
+    from mujoco_inversedynamicstest_tpu.ops import flexcol
+
+    # plain geom slots: side bodies = (geom_bodyid, 1-weight)
+    n_geom_slots = sum(x.shape[0] for x in dists)
+    if n_geom_slots:
+      gb = jnp.asarray(m.geom_bodyid)
+      g1cat = jnp.concatenate(geom1s)
+      g2cat = jnp.concatenate(geom2s)
+      bb = jnp.zeros((n_geom_slots, 2, 4), jnp.int32)
+      bw = jnp.zeros((n_geom_slots, 2, 4), dtype)
+      bb = bb.at[:, 0, 0].set(gb[g1cat])
+      bb = bb.at[:, 1, 0].set(gb[g2cat])
+      bw = bw.at[:, 0, 0].set(1.0).at[:, 1, 0].set(1.0)
+      bary_bodies.append(bb)
+      bary_ws.append(bw)
+
+    for eg in lay.elem_groups:
+      margin, incmargin, fri, sr, srf, si = flexcol.elem_pair_params(m, eg)
+      dist, pos, nrm, g1e, g2e, bb, bw, sel = flexcol.run_elem_group(
+          m, d, eg)
+      frame = jax.vmap(make_frame)(nrm, jnp.zeros_like(nrm))
+      repe = lambda x: jnp.repeat(x, eg.nslot, axis=0)
+      dists.append(dist)
+      poss.append(pos)
+      frames.append(frame)
+      incmargins.append(repe(incmargin[sel]))
+      margins.append(repe(margin[sel]))
+      frictions.append(repe(fri[sel]))
+      solrefs.append(repe(sr[sel]))
+      solreffrictions.append(repe(srf[sel]))
+      solimps.append(repe(si[sel]))
+      geom1s.append(g1e)
+      geom2s.append(g2e)
+      bary_bodies.append(bb)
+      bary_ws.append(bw)
+
   contact = Contact(
       dist=jnp.concatenate(dists),
       pos=jnp.concatenate(poss),
@@ -798,6 +870,8 @@ def collision(m: Model, d: Data) -> Data:
       geom2=jnp.concatenate(geom2s).astype(jnp.int32),
       efc_address=lay.efc_address,
       dim=lay.dim,
+      bary_body=(jnp.concatenate(bary_bodies) if lay.has_bary else None),
+      bary_w=(jnp.concatenate(bary_ws) if lay.has_bary else None),
   )
 
   # per-condim slot budget: keep the nearest max_contact_points slots
@@ -821,6 +895,8 @@ def collision(m: Model, d: Data) -> Data:
         solimp=contact.solimp[sel], geom1=contact.geom1[sel],
         geom2=contact.geom2[sel],
         efc_address=lay.efc_address, dim=lay.dim,
+        bary_body=(contact.bary_body[sel] if lay.has_bary else None),
+        bary_w=(contact.bary_w[sel] if lay.has_bary else None),
     )
 
   return d.replace(contact=contact)
@@ -854,4 +930,6 @@ def alloc_contact(m: Model, dtype) -> Contact:
       solreffriction=z(n, 2), solimp=z(n, 5),
       geom1=np.zeros(n, np.int32), geom2=np.zeros(n, np.int32),
       efc_address=lay.efc_address, dim=lay.dim,
+      bary_body=(np.zeros((n, 2, 4), np.int32) if lay.has_bary else None),
+      bary_w=(np.zeros((n, 2, 4), npdt) if lay.has_bary else None),
   )

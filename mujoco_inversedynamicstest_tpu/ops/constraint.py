@@ -754,24 +754,46 @@ def _contact_rows(m: Model, d: Data):
   # per side instead of per-contact Jacobian tensors)
   p_row = con.pos[slot_idx]
   com = d.subtree_com[m.body_rootid]
-
-  def side_rows(bids):
-    off = p_row - com[bids[slot_idx]]
-    u = jnp.concatenate([jnp.cross(off, w_t) + w_r, w_t], axis=1)
-    return u @ d.cdof.T                  # (nrows, nv)
-
   bmask = jnp.asarray(m.tree.body_dof_mask)
-  mask1 = bmask[b1[slot_idx]]
-  mask2 = bmask[b2[slot_idx]]
-  rows_J = jnp.where(mask2, side_rows(b2), 0.0) - jnp.where(
-      mask1, side_rows(b1), 0.0
-  )
-
-  # diag approx (ref :1300-1306); jnp view — b1/b2 are traced indices and
-  # model leaves are host numpy (io.py:_jx)
   invw = jnp.asarray(m.body_invweight0)
-  tran = invw[b1, 0] + invw[b2, 0]       # (ncon,)
-  rot = invw[b1, 1] + invw[b2, 1]
+
+  if con.bary_w is not None:
+    # flex element contacts: each side is up to 4 (body, weight) pairs
+    # (mj_elemBodyWeight inverse-distance weights; plain geom slots carry
+    # a single unit-weight body) — both the Jacobian and the diag approx
+    # sum weighted per-body terms (ref engine_core_constraint.c:1018-1068
+    # and mj_diagApprox flex branch)
+    def side_rows_bary(side):
+      total = jnp.zeros((nrows, d.cdof.shape[0]), dtype)
+      for kk in range(4):
+        b = con.bary_body[slot_idx, side, kk]
+        w = con.bary_w[slot_idx, side, kk]
+        off = p_row - com[b]
+        u = jnp.concatenate([jnp.cross(off, w_t) + w_r, w_t], axis=1)
+        r_k = u @ d.cdof.T
+        total = total + w[:, None] * jnp.where(bmask[b], r_k, 0.0)
+      return total
+
+    rows_J = side_rows_bary(1) - side_rows_bary(0)
+    tran = jnp.sum(
+        con.bary_w * invw[con.bary_body, 0], axis=(1, 2))   # (ncon,)
+    rot = jnp.sum(con.bary_w * invw[con.bary_body, 1], axis=(1, 2))
+  else:
+    def side_rows(bids):
+      off = p_row - com[bids[slot_idx]]
+      u = jnp.concatenate([jnp.cross(off, w_t) + w_r, w_t], axis=1)
+      return u @ d.cdof.T                # (nrows, nv)
+
+    mask1 = bmask[b1[slot_idx]]
+    mask2 = bmask[b2[slot_idx]]
+    rows_J = jnp.where(mask2, side_rows(b2), 0.0) - jnp.where(
+        mask1, side_rows(b1), 0.0
+    )
+
+    # diag approx (ref :1300-1306); jnp view — b1/b2 are traced indices
+    # and model leaves are host numpy (io.py:_jx)
+    tran = invw[b1, 0] + invw[b2, 0]     # (ncon,)
+    rot = invw[b1, 1] + invw[b2, 1]
 
   # shared per-contact impedance at pos = dist
   imp, impp = _impedance(con.solimp, con.dist, con.includemargin)

@@ -459,6 +459,23 @@ def _check_reset(m: Model, d: Data) -> Data:
   )
 
 
+def step_n(m: Model, d: Data, n: int, ctrl_fn=None) -> Data:
+  """``n`` fused simulation steps as one ``lax.scan`` program.
+
+  The single-dispatch analog of the reference's inner ``mj_step`` loop
+  (``sample/testspeed.cc``): per-step dispatch overhead dominates
+  single-scene latency on an accelerator (doc/mjx.rst:312-313's caveat),
+  so interactive/latency-sensitive callers amortize it by advancing n
+  steps per call.  Closed-loop control stays inside via ``ctrl_fn``.
+  """
+
+  def body(dd, _):
+    return step(m, dd, ctrl_fn=ctrl_fn), None
+
+  d, _ = jax.lax.scan(body, d, None, length=n)
+  return d
+
+
 def step(m: Model, d: Data, ctrl_fn=None) -> Data:
   """One simulation step (ref ``mj_step``, engine_forward.c:1134).
 

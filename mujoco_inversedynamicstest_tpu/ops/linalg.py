@@ -198,6 +198,36 @@ def _chol_unrolled(h: jax.Array) -> jax.Array:
   return jnp.stack(cols, axis=2)
 
 
+def _solve_unrolled(l: jax.Array, rhs: jax.Array) -> jax.Array:
+  """(B, n, n) lower factor + (B, n[, k]) rhs -> solution of L L^T x = b.
+
+  Unrolled substitutions fuse into neighboring step ops; standalone the
+  scan form is faster (4.3 vs 6.3 ms at (2048, 27) f32) but inside the
+  fused step program the scan's sequential loop carries cost ~12% whole-
+  step throughput (measured r4), so plain step programs keep this form
+  and ``lean_compile`` regions use the scan."""
+  n = l.shape[-1]
+  extra = rhs.ndim - 2  # trailing rhs dims beyond (B, n)
+
+  def c(i, j):
+    v = l[:, i, j]
+    return v.reshape(v.shape + (1,) * extra)
+
+  y = []
+  for i in range(n):
+    acc = rhs[:, i]
+    for j in range(i):
+      acc = acc - c(i, j) * y[j]
+    y.append(acc / c(i, i))
+  x = [None] * n
+  for i in range(n - 1, -1, -1):
+    acc = y[i]
+    for j in range(i + 1, n):
+      acc = acc - c(j, i) * x[j]
+    x[i] = acc / c(i, i)
+  return jnp.stack(x, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Scan-over-pivots batched kernels (compile-lean variants).
 #
@@ -347,8 +377,9 @@ def _chol_solve_vmap(axis_size, in_batched, l, b):
     bb = b if b_batched else jnp.broadcast_to(b, (axis_size,) + b.shape)
     if lb.ndim == 3 and bb.ndim in (2, 3) and _use_unrolled(
         lb.shape[0], lb.shape[1]):
-      # scan substitution wins at runtime AND compiles O(1) — always use it
-      return _solve_scan(lb, bb), True
+      if _lean_on():
+        return _solve_scan(lb, bb), True
+      return _solve_unrolled(lb, bb), True
     return jax.vmap(
         lambda li, bi: jax.scipy.linalg.cho_solve((li, True), bi)
     )(lb, bb), True

@@ -269,3 +269,156 @@ def ray(m: Model, d: Data, pnt: jax.Array, vec: jax.Array,
   hit = jnp.isfinite(best_dist)
   return (jnp.where(hit, best_dist, -1.0),
           jnp.where(hit, ids[best], -1).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# flex and skin rays (viewer picking surface; ref mju_rayFlex
+# engine_ray.c:848, mju_raySkin :1026)
+# ---------------------------------------------------------------------------
+
+
+def _ray_tris(tris, pnt, vec):
+  """Batched Möller-Trumbore: (T, 3, 3) triangles -> (T,) ray params
+  (+inf on miss).  The reference projects onto a normal-plane basis
+  (ray_triangle, engine_ray.c:132); the intersections are identical."""
+  eps = 1e-12
+  v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+  e1 = v1 - v0
+  e2 = v2 - v0
+  h = jnp.cross(vec[None], e2)
+  a = jnp.einsum("tc,tc->t", e1, h)
+  f = 1.0 / jnp.where(jnp.abs(a) < eps, jnp.inf, a)
+  s = pnt[None] - v0
+  u = f * jnp.einsum("tc,tc->t", s, h)
+  q = jnp.cross(s, e1)
+  v = f * jnp.einsum("c,tc->t", vec, q)
+  t = f * jnp.einsum("tc,tc->t", e2, q)
+  ok = (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= 0) & jnp.isfinite(t)
+  return jnp.where(ok, t, jnp.inf)
+
+
+def ray_flex(m: Model, d: Data, flexid: int, pnt, vec,
+             flg_vert: bool = False, flg_edge: bool = False,
+             flg_face: bool = True, flg_skin: bool = True,
+             flex_layer: int = 0):
+  """Nearest flex intersection + nearest vertex id (``mju_rayFlex``
+  analog, ref ``engine_ray.c:848``).
+
+  Element faces intersect as flat triangles (dim-2: the element; dim-3:
+  the four tet faces, outer layer only under ``flg_skin``, else the
+  ``flex_layer`` slice); edges as capsules; vertices as spheres — the
+  reference's exact surface set per flag combination.  Returns
+  ``(dist, vertid)`` with ``dist = -1`` on miss.
+  """
+  dtype = d.qpos.dtype
+  pnt = jnp.asarray(pnt, dtype=dtype)
+  vec = jnp.asarray(vec, dtype=dtype)
+  f = int(flexid)
+  dim = int(m.flex_dim[f])
+  va, vn = int(m.flex_vertadr[f]), int(m.flex_vertnum[f])
+  verts = d.flexvert_xpos[va:va + vn]
+  radius = m.flex_radius[f]
+
+  dists, vids = [], []
+
+  # ref branch structure (engine_ray.c:907-948): edges are checked when
+  # rendered OR under skin mode (the rounded boundary); vertices only
+  # when edges are not; faces whenever rendered or skinned
+  use_edges = flg_edge or (dim > 1 and flg_skin)
+  if use_edges and m.nflexedge:
+    ea, en = int(m.flex_edgeadr[f]), int(m.flex_edgenum[f])
+    edge = np.asarray(m.flex_edge)[ea:ea + en] - va    # local ids
+    v1 = verts[edge[:, 0]]
+    v2 = verts[edge[:, 1]]
+
+    def one_edge(a, b):
+      mid = 0.5 * (a + b)
+      dif = b - a
+      ln = jnp.linalg.norm(dif)
+      axis = dif / jnp.maximum(ln, 1e-12)
+      mat = _mat_z(axis, dtype)
+      size = jnp.stack([radius, 0.5 * ln, radius])
+      return ray_geom(mid, mat, size, pnt, vec, int(GeomType.CAPSULE))
+
+    de = jax.vmap(one_edge)(v1, v2)
+    de = jnp.where(jnp.isfinite(de) & (de >= 0), de, jnp.inf)
+    hit_pt = pnt[None] + vec[None] * de[:, None]
+    near = jnp.where(
+        jnp.linalg.norm(v1 - hit_pt, axis=1)
+        < jnp.linalg.norm(v2 - hit_pt, axis=1),
+        edge[:, 0], edge[:, 1])
+    dists.append(de)
+    vids.append(near)
+  elif flg_vert and not (dim > 1 and flg_skin):
+    def one_vert(v):
+      mat = jnp.eye(3, dtype=dtype)
+      size = jnp.stack([radius, radius, radius])
+      return ray_geom(v, mat, size, pnt, vec, int(GeomType.SPHERE))
+
+    dv = jax.vmap(one_vert)(verts)
+    dv = jnp.where(jnp.isfinite(dv) & (dv >= 0), dv, jnp.inf)
+    dists.append(dv)
+    vids.append(jnp.arange(vn))
+
+  if dim > 1 and (flg_face or flg_skin):
+    ea, en = int(m.flex_elemadr[f]), int(m.flex_elemnum[f])
+    elem = np.asarray(m.flex_elem)[ea:ea + en, :dim + 1] - va
+    layer = np.asarray(m.flex_elemlayer_np)[ea:ea + en]
+    if dim == 3:
+      keep = (layer == 0) if flg_skin else (layer == flex_layer)
+      elem = elem[keep]
+      tri_ids = np.concatenate([
+          elem[:, [0, 1, 2]], elem[:, [0, 1, 3]],
+          elem[:, [0, 2, 3]], elem[:, [1, 2, 3]]], axis=0)
+    else:
+      tri_ids = elem
+    if len(tri_ids):
+      tris = verts[tri_ids]                           # (T, 3, 3)
+      dt = _ray_tris(tris, pnt, vec)
+      hit_pt = pnt[None] + vec[None] * dt[:, None]
+      vd = jnp.linalg.norm(tris - hit_pt[:, None], axis=2)  # (T, 3)
+      near = jnp.asarray(tri_ids)[jnp.arange(len(tri_ids)),
+                                  jnp.argmin(vd, axis=1)]
+      dists.append(dt)
+      vids.append(near)
+
+  if not dists:
+    return jnp.asarray(-1.0, dtype), jnp.asarray(-1, jnp.int32)
+  dist = jnp.concatenate(dists)
+  vid = jnp.concatenate([jnp.asarray(v, jnp.int32) for v in vids])
+  best = jnp.argmin(dist)
+  hit = jnp.isfinite(dist[best])
+  return (jnp.where(hit, dist[best], -1.0),
+          jnp.where(hit, vid[best], -1).astype(jnp.int32))
+
+
+def _mat_z(axis, dtype):
+  """Rotation matrix whose z-column is ``axis`` (mju_quatZ2Vec analog)."""
+  z = axis
+  up = jnp.where(jnp.abs(z[2]) < 0.9,
+                 jnp.asarray([0.0, 0.0, 1.0], dtype),
+                 jnp.asarray([1.0, 0.0, 0.0], dtype))
+  x = jnp.cross(up, z)
+  x = x / jnp.maximum(jnp.linalg.norm(x), 1e-12)
+  y = jnp.cross(z, x)
+  return jnp.stack([x, y, z], axis=1)
+
+
+def ray_skin(face: np.ndarray, vert, pnt, vec):
+  """Nearest skin intersection + nearest vertex id (``mju_raySkin``
+  analog, ref ``engine_ray.c:1026``): a masked-min triangle sweep over
+  the skin mesh.  ``face`` is (nface, 3) static topology; ``vert`` is the
+  (nvert, 3) posed skin vertices (runtime)."""
+  vert = jnp.asarray(vert)
+  pnt = jnp.asarray(pnt, vert.dtype)
+  vec = jnp.asarray(vec, vert.dtype)
+  tris = vert[np.asarray(face)]
+  dt = _ray_tris(tris, pnt, vec)
+  best = jnp.argmin(dt)
+  hit = jnp.isfinite(dt[best])
+  hit_pt = pnt + vec * dt[best]
+  corners = tris[best]
+  near = jnp.asarray(np.asarray(face))[best][
+      jnp.argmin(jnp.linalg.norm(corners - hit_pt[None], axis=1))]
+  return (jnp.where(hit, dt[best], -1.0),
+          jnp.where(hit, near, -1).astype(jnp.int32))

@@ -49,6 +49,8 @@ def _frame_pos_mat(m: Model, d: Data, objtype: int, objid: int):
     return d.geom_xpos[objid], d.geom_xmat[objid]
   if t == ObjType.SITE:
     return d.site_xpos[objid], d.site_xmat[objid]
+  if t == ObjType.CAMERA:
+    return d.cam_xpos[objid], d.cam_xmat[objid]
   raise NotImplementedError(f"sensor object type {t}")
 
 
@@ -63,6 +65,9 @@ def _frame_quat(m: Model, d: Data, objtype: int, objid: int):
     return math.quat_mul(d.xquat[m.geom_bodyid[objid]], m.geom_quat[objid])
   if t == ObjType.SITE:
     return math.quat_mul(d.xquat[m.site_bodyid[objid]], m.site_quat[objid])
+  if t == ObjType.CAMERA:
+    # ref get_xquat (sensor.c:117): quaternion of the camera frame matrix
+    return math.mat_to_quat(d.cam_xmat[objid])
   raise NotImplementedError(f"sensor object type {t}")
 
 
@@ -74,6 +79,8 @@ def _obj_body(m: Model, objtype: int, objid: int) -> int:
     return int(m.geom_bodyid[objid])
   if t == ObjType.SITE:
     return int(m.site_bodyid[objid])
+  if t == ObjType.CAMERA:
+    return int(m.cam_bodyid[objid])
   raise NotImplementedError(f"sensor object type {t}")
 
 

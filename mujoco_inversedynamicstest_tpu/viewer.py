@@ -77,6 +77,31 @@ def launch(
     one = jax.tree.map(lambda x: x[index], d) if batched else d
     interop.get_data(m, one, mjd=handle_mjd)
 
+  def read_perturb(d, handle_mjd):
+    """Mouse perturbations back into device state (the simulate app's
+    readback: ``mjv_applyPerturbForce`` writes ``xfrc_applied`` and
+    pose perturbation writes mocap, ref ``simulate/simulate.cc`` +
+    ``engine_vis_interact.c``).  The rendered lane of a batch absorbs
+    the perturbation; other lanes are untouched."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = d.qpos.dtype
+    xf = np.asarray(handle_mjd.xfrc_applied)
+    updates = {}
+    if xf.any() or bool(jax.device_get(jnp.any(d.xfrc_applied != 0))):
+      new_xf = jnp.asarray(xf, dtype)
+      updates["xfrc_applied"] = (
+          d.xfrc_applied.at[index].set(new_xf) if batched else new_xf)
+    if m.nmocap:
+      mp = jnp.asarray(np.asarray(handle_mjd.mocap_pos), dtype)
+      mq = jnp.asarray(np.asarray(handle_mjd.mocap_quat), dtype)
+      updates["mocap_pos"] = (
+          d.mocap_pos.at[index].set(mp) if batched else mp)
+      updates["mocap_quat"] = (
+          d.mocap_quat.at[index].set(mq) if batched else mq)
+    return d.replace(**updates) if updates else d
+
   nstep = 0
   dt = float(m.opt.timestep)
 
@@ -120,6 +145,9 @@ def launch(
         sim_ahead += dt
       sync_into(mjd, d)
       handle.sync()
+      # mouse perturbations applied by the GUI flow back into the device
+      # state so drags exert real forces (the simulate app's loop)
+      d = read_perturb(d, mjd)
       if realtime:
         leftover = frame_dt - (time.perf_counter() - now)
         if leftover > 0:

@@ -180,3 +180,47 @@ def test_user_sensor_without_fn_refused():
   mjm = mujoco.MjModel.from_xml_string(xml)
   with pytest.raises(NotImplementedError, match="USER sensor"):
     mi.put_model(mjm)
+
+
+def test_camera_frame_sensors_match_c():
+  """Frame sensors attached to cameras (objtype CAMERA; ref
+  get_xpos_xmat/get_xquat camera branches, engine_sensor.c:92/117)."""
+  xml = """
+  <mujoco>
+    <worldbody>
+      <body pos="0 0 1">
+        <joint name="j0" type="ball"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="1"/>
+        <camera name="cam" pos="0.1 0.05 0.2" euler="20 30 10"/>
+      </body>
+      <body pos="1 0 1">
+        <joint type="hinge" axis="0 0 1"/>
+        <geom type="sphere" size="0.05" mass="0.5"/>
+        <camera name="cam2" pos="0 0 0.1"/>
+      </body>
+    </worldbody>
+    <sensor>
+      <framepos objtype="camera" objname="cam"/>
+      <framequat objtype="camera" objname="cam"/>
+      <framexaxis objtype="camera" objname="cam"/>
+      <framelinvel objtype="camera" objname="cam"/>
+      <frameangvel objtype="camera" objname="cam"/>
+      <framelinacc objtype="camera" objname="cam"/>
+      <framepos objtype="camera" objname="cam" reftype="camera"
+                refname="cam2"/>
+    </sensor>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(3)
+  quat = rng.randn(4); quat /= np.linalg.norm(quat)
+  mjd.qpos[:4] = quat
+  mjd.qpos[4] = 0.7
+  mjd.qvel[:] = 0.3 * rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = mi.put_model(mjm)
+  d = jax.jit(lambda dd: mi.forward(m, dd))(mi.put_data(m, mjd))
+  np.testing.assert_allclose(
+      np.asarray(d.sensordata), mjd.sensordata, atol=1e-9)
