@@ -38,6 +38,18 @@ if not jax.config.jax_compilation_cache_dir:
 
 BASELINE_STEPS_PER_SEC_PER_CHIP = 2_700_000 / 8
 
+def _sync(x):
+  """True device sync via host fetch.
+
+  The remote-TPU (axon) backend's ``block_until_ready`` has been observed
+  to return before remote completion, silently turning timing loops into
+  dispatch measurements; fetching a scalar to the host is the only
+  reliable barrier (costs one ~25 ms RTT, negligible at bench scales).
+  """
+  return float(jnp.asarray(x).ravel()[0])
+
+
+
 HUMANOID_PATH = "/root/reference/mjx/mujoco/mjx/test_data/humanoid/humanoid.xml"
 HUMANOID_MODEL_PATH = "/root/reference/model/humanoid/humanoid.xml"
 
@@ -71,10 +83,10 @@ def measure_step_throughput(mi, m, d0):
     return ds
 
   out = rollout(batch)
-  out.qpos.block_until_ready()
+  _sync(out.qpos)
   t0 = time.perf_counter()
   out = rollout(batch)
-  out.qpos.block_until_ready()
+  _sync(out.qpos)
   dt = time.perf_counter() - t0
   return STEP_BATCH * STEP_NSTEP / dt
 
@@ -90,21 +102,21 @@ def measure_single_scene_latency(mi, m, d0):
   """
   step = jax.jit(lambda dd: mi.step(m, dd), donate_argnums=0)
   d = step(d0)
-  d.qpos.block_until_ready()
+  _sync(d.qpos)
   n = 200
   t0 = time.perf_counter()
   for _ in range(n):
     d = step(d)
-  d.qpos.block_until_ready()
+  _sync(d.qpos)
   per_step = n / (time.perf_counter() - t0)
 
   stepn = jax.jit(lambda dd: mi.step_n(m, dd, 100), donate_argnums=0)
   d = stepn(mi.make_data(m))
-  d.qpos.block_until_ready()
+  _sync(d.qpos)
   t0 = time.perf_counter()
   for _ in range(5):
     d = stepn(d)
-  d.qpos.block_until_ready()
+  _sync(d.qpos)
   fused = 500 / (time.perf_counter() - t0)
   return per_step, fused
 
@@ -152,11 +164,11 @@ def measure_stage_breakdown(mi, m, d0, batch=512, reps=20):
   for k in range(1, len(stages) + 1):
     jf = prefix_fn(k)
     r = jf(ds)
-    jax.block_until_ready(r.qpos)
+    _sync(r.qpos)
     t0 = time.perf_counter()
     for _ in range(reps):
       r = jf(ds)
-    jax.block_until_ready(r.qpos)
+    _sync(r.qpos)
     times.append((time.perf_counter() - t0) / reps)
 
   diffs = [max(times[k] - times[k - 1], 0.0)
@@ -214,10 +226,10 @@ def measure_humanoid100(mi):
       return dd
 
     out = roll(ds)
-    jax.block_until_ready(out.qpos)
+    _sync(out.qpos)
     t0 = time.perf_counter()
     out = roll(out)
-    jax.block_until_ready(out.qpos)
+    _sync(out.qpos)
     return batch * 20 / (time.perf_counter() - t0)
 
   m = mi.put_model(mjm, dtype=jnp.float32)

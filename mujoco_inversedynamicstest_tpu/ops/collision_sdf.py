@@ -77,19 +77,25 @@ _SDF = {
 # --------------------------------------------------------------------------
 
 
-def _descend(phi, x0, niter: int = 12, n_ls: int = 12):
-  """Fixed-budget gradient descent with geometric line search."""
+def _descend(phi, x0, niter: int = 8, n_ls: int = 10):
+  """Fixed-budget gradient descent with geometric line search.
+
+  The iteration loop is UNROLLED (not ``lax.scan``): each step's work is
+  a handful of tiny fused elementwise ops, and a 12-step scan forces 12
+  serial kernel launches per contact pair — measured 89% of the whole
+  humanoid100 step (the descent groups cost ~255 of 287 ms of collision
+  at batch 64).  Unrolling lets XLA fuse the entire descent into a few
+  launches; graph size stays modest (niter * ~n_ls ops)."""
   alphas = jnp.geomspace(1e-4, 2.0, n_ls).astype(x0.dtype)
 
-  def step(x, _):
+  x = x0
+  for _ in range(niter):
     g = jax.grad(phi)(x)
     cands = x[None] - alphas[:, None] * g[None]
     vals = jax.vmap(phi)(cands)
     k = jnp.argmin(vals)
     better = vals[k] < phi(x)
-    return jnp.where(better, cands[k], x), None
-
-  x, _ = jax.lax.scan(step, x0, None, length=niter)
+    x = jnp.where(better, cands[k], x)
   return x
 
 

@@ -62,6 +62,14 @@ class ILQRConfig(NamedTuple):
   # recompute feedback gains for the returned trajectory (an extra
   # linearization pass; only needed when the caller consumes gains_K/k)
   final_gains: bool = False
+  # trace the whole solve with the compile-lean scan factorizations
+  # (ops/linalg.lean_compile).  Measured on the TPU north-star program
+  # (fleet humanoid MPC, H=100, cold cache, separate processes):
+  # compile 1475 s -> 238 s (6.2x) for an 8.7% exec-time cost — the
+  # right default for a program whose unrolled-kernel variant costs
+  # 25 minutes of XLA time per (re)build.  Set False to squeeze peak
+  # solves/s out of a compile-once deployment.
+  lean_compile: bool = True
 
 
 class ILQRResult(NamedTuple):
@@ -257,6 +265,11 @@ def ilqr(m: Model, cost: CostFn, d0: Data, us_init: jax.Array,
   state (qpos, qvel, act).
   """
   cfg = config or ILQRConfig()
+  if cfg.lean_compile:
+    from mujoco_inversedynamicstest_tpu.ops import linalg
+
+    with linalg.lean_compile():
+      return ilqr(m, cost, d0, us_init, cfg._replace(lean_compile=False))
   T, nu = us_init.shape
   nv, na = m.nv, m.na
   nx = 2 * nv + na

@@ -171,7 +171,9 @@ def measure_solves_per_sec(m: Model, cost, d0: Data,
 
   def run_all():
     outs = [fn(c) for c in chunks]
-    jax.block_until_ready(outs[-1].plan_costs)
+    # host fetch: the remote-TPU backend's block_until_ready can return
+    # early; fetching forces true completion (bench.py _sync rationale)
+    np.asarray(outs[-1].plan_costs)
     return jax.tree.map(lambda *x: jnp.concatenate(x), *outs)
 
   t0 = time.perf_counter()

@@ -99,12 +99,12 @@ def mpc_weak_scaling(
 
     t0 = time.perf_counter()
     costs, gmean = fn(fleet)
-    jax.block_until_ready(costs)
+    np.asarray(costs)
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     costs, gmean = fn(fleet)
-    jax.block_until_ready(costs)
+    np.asarray(costs)
     dt = time.perf_counter() - t0
 
     n_solves = fleet_cfg.fleet * cfg.n_replan
