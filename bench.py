@@ -100,8 +100,10 @@ def measure_single_scene_latency(mi, m, d0):
   per dispatch with donated buffers — the pattern latency-sensitive
   users should adopt).
   """
+  # donation invalidates the argument — use a private Data, not the
+  # caller's d0 (other measurements reuse it)
   step = jax.jit(lambda dd: mi.step(m, dd), donate_argnums=0)
-  d = step(d0)
+  d = step(mi.make_data(m))
   _sync(d.qpos)
   n = 200
   t0 = time.perf_counter()

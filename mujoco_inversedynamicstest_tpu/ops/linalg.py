@@ -31,15 +31,18 @@ from jax import custom_batching
 
 _LANES = 128
 
-# Pallas dispatch gate.  Disabled by default after a field failure: the
-# kernels are exact in isolation (unit-tested against numpy incl. nested
-# vmap/jvp and ill-conditioned inputs), but inside the large fleet-MPC
-# programs on the remote TPU they produced NaN lanes (and the round-2
-# benchmark numbers turned out to be NaN-accelerated garbage: lanes that
-# go NaN short-circuit the solver's while_loops).  Until the interaction
-# is root-caused under a multi-block grid in fused programs, correctness
-# wins: the jnp paths are used everywhere.  Set to True to re-enable.
-PALLAS_ENABLED = False
+# Pallas dispatch gate.  History: round 2 shipped these kernels with a
+# row-major-flatten shortcut that fed each matrix transposed; on
+# bf16-asymmetric Newton Hessians that exploded into NaN lanes inside the
+# fleet-MPC programs, and the gate was turned off (round 3) while the
+# layout bug was root-caused and regression-tested
+# (tests/test_linalg.py::test_pallas_chol_asymmetric_input_regression).
+# Round 4 re-enabled it with hardware evidence: with the true
+# column-major relayout, the batched humanoid step (batch 2048) and the
+# fleet-MPC program both run 100% finite lanes with Pallas dispatching,
+# at ~6% higher step throughput than the unrolled kernels in the same
+# session.  BENCH_r04 carries the finite-lane proof.
+PALLAS_ENABLED = True
 
 
 def _use_pallas(batch: int, n: int) -> bool:
