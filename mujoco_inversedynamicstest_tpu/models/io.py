@@ -386,8 +386,6 @@ def validate_model(mjm, _user_sensor_ok: bool = False) -> None:
 
   if mjm.opt.enableflags & EnableBit.OVERRIDE:
     bad("contact override (o_margin/o_solref/o_solimp, flag override)")
-  if mjm.opt.solver == SolverType.PGS:
-    bad("PGS solver (dual); set solver='CG' or 'Newton'")
 
   for f in range(getattr(mjm, "nflex", 0)):
     if mjm.flex_interp[f]:

@@ -396,10 +396,11 @@ def fwd_constraint(m: Model, d: Data) -> Data:
         qacc_warmstart=d.qacc_smooth,
     )
   if m.opt.solver == SolverType.PGS:
-    raise NotImplementedError(
-        "PGS solver: use CG or NEWTON (the TPU-native primal solvers)"
-    )
-  d = solve(m, d)
+    from mujoco_inversedynamicstest_tpu.ops import pgs as pgs_mod
+
+    d = pgs_mod.pgs(m, d)
+  else:
+    d = solve(m, d)
   if m.opt.noslip_iterations > 0:
     from mujoco_inversedynamicstest_tpu.ops import noslip as noslip_mod
 
