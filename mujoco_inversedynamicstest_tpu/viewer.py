@@ -34,6 +34,8 @@ def launch(
     ctrl_fn: Optional[Callable[[Data], Data]] = None,
     realtime: bool = True,
     max_steps: Optional[int] = None,
+    watch: Optional[str] = None,
+    watch_every: float = 0.5,
     _headless_smoke: bool = False,
 ) -> Data:
   """Steps the device engine and mirrors the state into the host viewer.
@@ -48,6 +50,11 @@ def launch(
     realtime: sleep to track the model timestep (like the reference
       viewer's speed control); False = run as fast as the device allows.
     max_steps: stop after this many steps (None = until window closes).
+    watch: name of a Data field (e.g. ``"qpos"``, ``"solver_niter"``,
+      ``"sensordata"``) printed at ``watch_every``-second intervals —
+      the simulate app's Watch pane (ref ``simulate/simulate.cc``
+      watch field), delegated to the terminal.
+    watch_every: seconds between watch prints.
     _headless_smoke: internal—exercise the loop without opening a window.
 
   Returns the final Data.
@@ -105,12 +112,32 @@ def launch(
   nstep = 0
   dt = float(m.opt.timestep)
 
+  if watch is not None and not hasattr(d, watch):
+    raise AttributeError(f"watch: Data has no field '{watch}'")
+  last_watch = [0.0]
+
+  def maybe_watch(d):
+    if watch is None:
+      return
+    now = time.perf_counter()
+    if now - last_watch[0] < watch_every:
+      return
+    last_watch[0] = now
+    import numpy as np
+
+    val = getattr(d, watch)
+    one = (jax.tree.map(lambda x: x[index], val)
+           if batched and getattr(val, "ndim", 0) else val)
+    with np.printoptions(precision=4, suppress=True, threshold=12):
+      print(f"[watch] t={nstep * dt:8.3f} {watch} = {np.asarray(one)}")
+
   if _headless_smoke:
     while max_steps is None or nstep < max_steps:
       if ctrl_fn is not None:
         d = ctrl_fn(d)
       d = step(d)
       sync_into(mjd, d)
+      maybe_watch(d)
       nstep += 1
       if max_steps is None and nstep >= 10:
         break
@@ -145,6 +172,7 @@ def launch(
         sim_ahead += dt
       sync_into(mjd, d)
       handle.sync()
+      maybe_watch(d)
       # mouse perturbations applied by the GUI flow back into the device
       # state so drags exert real forces (the simulate app's loop)
       d = read_perturb(d, mjd)
