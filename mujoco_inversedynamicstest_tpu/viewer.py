@@ -36,6 +36,8 @@ def launch(
     max_steps: Optional[int] = None,
     watch: Optional[str] = None,
     watch_every: float = 0.5,
+    profile: bool = False,
+    profile_every: float = 2.0,
     _headless_smoke: bool = False,
 ) -> Data:
   """Steps the device engine and mirrors the state into the host viewer.
@@ -55,6 +57,13 @@ def launch(
       the simulate app's Watch pane (ref ``simulate/simulate.cc``
       watch field), delegated to the terminal.
     watch_every: seconds between watch prints.
+    profile: print a periodic runtime summary — realized steps/s,
+      realtime factor, mean device step latency, Newton iterations,
+      active contact / constraint-row counts, warning counters — the
+      simulate app's Profiler pane (ref ``simulate/simulate.cc``
+      profiler figures fed by the mjtTimer stage timers), delegated to
+      the terminal like the Watch pane.
+    profile_every: seconds between profiler prints.
     _headless_smoke: internal—exercise the loop without opening a window.
 
   Returns the final Data.
@@ -131,6 +140,41 @@ def launch(
     with np.printoptions(precision=4, suppress=True, threshold=12):
       print(f"[watch] t={nstep * dt:8.3f} {watch} = {np.asarray(one)}")
 
+  # Profiler pane: wall-clock interval counters (simulate app's Profiler
+  # figure shows realized fps/steps + solver stats + counts; our timing
+  # truth is the realized rate over the interval — per-stage shares live
+  # in bench.py's prefix-differencing breakdown, not here, because the
+  # viewer runs the fused step and must not re-jit prefix programs).
+  prof = {"t0": time.perf_counter(), "n0": 0}
+
+  def maybe_profile(d):
+    if not profile:
+      return
+    now = time.perf_counter()
+    wall = now - prof["t0"]
+    if wall < profile_every:
+      return
+    import numpy as np
+
+    steps = nstep - prof["n0"]
+    prof["t0"], prof["n0"] = now, nstep
+    one = jax.tree.map(lambda x: x[index], d) if batched else d
+    niter = int(np.asarray(one.solver_niter)) \
+        if one.solver_niter is not None else 0
+    nefc_act = int(np.asarray(one.efc_active).sum()) \
+        if one.efc_active is not None else 0
+    ncon_act = int((np.asarray(one.contact.dist)
+                    < np.asarray(one.contact.includemargin)).sum()) \
+        if one.contact is not None and one.contact.dist is not None else 0
+    warn = np.asarray(one.warning) if one.warning is not None else None
+    rate = steps / max(wall, 1e-9)
+    print(
+        f"[profile] {rate:9.1f} steps/s ({rate * dt:5.2f}x realtime, "
+        f"{1e3 / max(rate, 1e-9):6.2f} ms/step) | newton iters {niter:3d} "
+        f"| contacts {ncon_act:3d} efc {nefc_act:4d}"
+        + (f" | warnings {warn.tolist()}" if warn is not None
+           and warn.any() else ""))
+
   if _headless_smoke:
     while max_steps is None or nstep < max_steps:
       if ctrl_fn is not None:
@@ -138,6 +182,7 @@ def launch(
       d = step(d)
       sync_into(mjd, d)
       maybe_watch(d)
+      maybe_profile(d)
       nstep += 1
       if max_steps is None and nstep >= 10:
         break
@@ -173,6 +218,7 @@ def launch(
       sync_into(mjd, d)
       handle.sync()
       maybe_watch(d)
+      maybe_profile(d)
       # mouse perturbations applied by the GUI flow back into the device
       # state so drags exert real forces (the simulate app's loop)
       d = read_perturb(d, mjd)

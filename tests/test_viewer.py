@@ -18,6 +18,26 @@ def test_headless_loop_with_watch(capsys):
   assert "[watch]" in capsys.readouterr().out
 
 
+def test_headless_loop_with_profiler_pane(capsys):
+  m = mi.load_model(XML)
+  out = mi.viewer.launch(m, max_steps=5, profile=True, profile_every=0.0,
+                         _headless_smoke=True)
+  assert np.isfinite(np.asarray(out.qpos)).all()
+  text = capsys.readouterr().out
+  assert "[profile]" in text and "steps/s" in text and "newton iters" in text
+
+
+def test_profiler_pane_batched_lane(capsys):
+  import jax
+
+  m = mi.load_model(XML)
+  d0 = mi.make_data(m)
+  batch = jax.vmap(lambda _: d0)(np.arange(3))
+  mi.viewer.launch(m, batch, index=1, max_steps=4, profile=True,
+                   profile_every=0.0, _headless_smoke=True)
+  assert "[profile]" in capsys.readouterr().out
+
+
 def test_unknown_watch_field_refused():
   m = mi.load_model(XML)
   try:
