@@ -773,11 +773,12 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
   contype = m.flex_contype[vflex]
   conaff = m.flex_conaffinity[vflex]
 
-  # sphere and capsule partners collide at element level (ops/flexcol.py)
-  # with no concave gaps; other partner types (box/mesh/...) keep the
-  # vertex-sphere approximation, which leaves gaps between adjacent
-  # spheres where the reference's element narrowphase (mjc_ConvexElem)
-  # would contact.  Surface the remaining failure mode at load.
+  # sphere, capsule and box partners collide at element level
+  # (ops/flexcol.py) with no concave gaps; other partner types
+  # (mesh/cylinder/ellipsoid/...) keep the vertex-sphere approximation,
+  # which leaves gaps between adjacent spheres where the reference's
+  # element narrowphase (mjc_ConvexElem) would contact.  Surface the
+  # remaining failure mode at load.
   import warnings
 
   from mujoco_inversedynamicstest_tpu.ops.flexcol import (
@@ -800,10 +801,11 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
     gap = max_edge / 2.0 - float(mjm.flex_radius[f])
     if gap > 0:
       warnings.warn(
-          f"flex {f}: box/mesh partners use vertex-sphere collision, "
-          f"leaving up to {gap:.4g} m concave gaps (edge {max_edge:.4g} "
-          f"m, radius {float(mjm.flex_radius[f]):.4g} m); sphere/capsule "
-          "partners collide at element level and are unaffected",
+          f"flex {f}: mesh/cylinder/ellipsoid partners use vertex-sphere "
+          f"collision, leaving up to {gap:.4g} m concave gaps (edge "
+          f"{max_edge:.4g} m, radius {float(mjm.flex_radius[f]):.4g} m); "
+          "sphere/capsule/box partners collide at element level and are "
+          "unaffected",
           stacklevel=3)
   radius = np.asarray(m.flex_radius)[vflex]
   centered = m.flex_centered[vflex]

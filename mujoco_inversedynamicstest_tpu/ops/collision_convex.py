@@ -180,13 +180,20 @@ def _seg_seg_cross_2d(p_a, e_a, p_b, e_b, n):
 
 
 def _face_face_manifold(h_ref: WorldHull, f_ref, h_inc: WorldHull, f_inc,
-                        margin, nslot: int):
+                        margin, nslot: int, score_fn=None):
   """Contact candidates where face f_inc of h_inc meets face f_ref of h_ref.
 
   Candidates = inc-verts inside ref-poly + ref-verts inside inc-poly +
   pairwise edge crossings, all projected along the ref normal; up to
   ``nslot`` survivors are selected by depth then spread.
   Returns (dist, pos) of shape (nslot,), (nslot, 3) with +BIG padding.
+
+  ``score_fn`` remaps candidate plane-depths for the deepest-first
+  selection (still masked by ``depth <= margin``): thin two-sided
+  elements (ops/flexcol.py) score by ``|d| - rt`` so a candidate far
+  *behind* the plane (through-tunneled, force-free) does not crowd out
+  the near-surface candidates that carry force.  Raw depths are
+  returned either way.
   """
   n = h_ref.face_normal[f_ref]                            # ref outward normal
   poly_r, mask_r = _face_poly(h_ref, f_ref)               # (FR,3)
@@ -233,7 +240,8 @@ def _face_face_manifold(h_ref: WorldHull, f_ref, h_inc: WorldHull, f_inc,
   valid = jnp.concatenate([in_r, in_i, xhit], axis=0)
   depth = jax.vmap(depth_at)(cand)
   valid = valid & (depth <= margin)
-  score = jnp.where(valid, depth, _BIG)
+  scored = depth if score_fn is None else score_fn(depth)
+  score = jnp.where(valid, scored, _BIG)
 
   # selection: deepest first, then maximize minimum spread
   N = cand.shape[0]
@@ -246,7 +254,7 @@ def _face_face_manifold(h_ref: WorldHull, f_ref, h_inc: WorldHull, f_inc,
     else:
       # among valid unpicked, prefer far from already-picked; tie-break depth
       spread = jnp.where(valid & ~sel, mind, -_BIG)
-      pick = jnp.argmax(spread - 1e-6 * depth)
+      pick = jnp.argmax(spread - 1e-6 * scored)
     ok = valid[pick] & ~sel[pick]
     out_d.append(jnp.where(ok, depth[pick], _BIG))
     out_p.append(cand[pick] + n * (depth[pick] * 0.5))
@@ -445,75 +453,87 @@ def make_capsule_convex(spec2: HullSpec, is_box2: bool):
   return fn
 
 
+def hulls_sat_manifold(ha: WorldHull, hb: WorldHull, margin,
+                     nslot: int = 4):
+  """SAT contact between two world hulls: (dist, pos, nrm) of ``nslot``.
+
+  The core of :func:`make_convex_convex`, callable with hulls whose
+  vertices are runtime values (e.g. flex elements, ops/flexcol.py) as
+  well as posed static specs.  Candidate axes: all polygon face normals
+  of both hulls + Gauss-map-valid edge-pair cross products.  Face winner
+  -> polygon-intersection manifold; edge winner -> single closest-point
+  contact.
+  """
+
+  sep_fa = _face_separations(ha, hb.vert)                # (Fa,)
+  sep_fb = _face_separations(hb, ha.vert)                # (Fb,)
+  ax_e, sep_e, val_e = _edge_axes(ha, hb)               # (Ea,Eb)
+
+  best_fa = jnp.argmax(sep_fa)
+  best_fb = jnp.argmax(sep_fb)
+  sfa = sep_fa[best_fa]
+  sfb = sep_fb[best_fb]
+
+  sep_e_m = jnp.where(val_e, sep_e, -_BIG)
+  flat = jnp.argmax(sep_e_m)
+  ia, ib = flat // sep_e.shape[1], flat % sep_e.shape[1]
+  se = sep_e_m[ia, ib]
+
+  # prefer faces on near ties (stabler manifolds), like the reference's
+  # box-box which biases face axes over edge axes
+  eps = 1e-6
+  face_sep = jnp.maximum(sfa, sfb)
+  use_edge = se > face_sep + eps
+  use_a = sfa >= sfb
+
+  # --- face manifolds (computed both ways, selected) ---
+  # incident face = most anti-parallel to reference normal
+  n_a = ha.face_normal[best_fa]
+  inc_b = jnp.argmin(hb.face_normal @ n_a)
+  d_af, p_af = _face_face_manifold(ha, best_fa, hb, inc_b, margin, nslot)
+
+  n_b = hb.face_normal[best_fb]
+  inc_a = jnp.argmin(ha.face_normal @ n_b)
+  d_bf, p_bf = _face_face_manifold(hb, best_fb, ha, inc_a, margin, nslot)
+
+  d_face = jnp.where(use_a, d_af, d_bf)
+  p_face = jnp.where(use_a, p_af, p_bf)
+  n_face = jnp.where(use_a, n_a, -n_b)                   # 1 -> 2
+
+  # --- edge-edge contact ---
+  c1, c2 = _closest_seg_seg(
+      ha.edge_p0[ia], ha.edge_dir[ia], hb.edge_p0[ib], hb.edge_dir[ib])
+  n_edge = ax_e[ia, ib]
+  d_edge0 = se
+  p_edge0 = 0.5 * (c1 + c2)
+  d_edge = jnp.concatenate([
+      jnp.where(d_edge0 <= margin, d_edge0, _BIG)[None],
+      jnp.full((nslot - 1,), _BIG, dtype=ha.center.dtype),
+  ])
+  p_edge = jnp.concatenate([p_edge0[None],
+                            jnp.zeros((nslot - 1, 3), dtype=ha.center.dtype)])
+
+  dist = jnp.where(use_edge, d_edge, d_face)
+  pos = jnp.where(use_edge, p_edge, p_face)
+  nrm = jnp.tile(jnp.where(use_edge, n_edge, n_face)[None], (nslot, 1))
+  # total miss: nothing within margin on the best axis
+  sep_best = jnp.maximum(face_sep, se)
+  dist = jnp.where(sep_best > margin, _BIG, dist)
+  z = jnp.zeros((nslot, 3), dtype=ha.center.dtype)
+  return dist, pos, nrm, z
+
+
 def make_convex_convex(spec1: HullSpec, is_box1: bool,
                        spec2: HullSpec, is_box2: bool):
   """General convex-convex SAT (box-box, box-mesh, mesh-mesh): 4 contacts.
 
-  Candidate axes: all polygon face normals of both hulls + Gauss-map-valid
-  edge-pair cross products.  Face winner -> polygon-intersection manifold;
-  edge winner -> single closest-point contact.
+  Thin wrapper posing the static specs; the SAT itself lives in
+  :func:`hulls_sat_manifold`.
   """
-  nslot = 4
 
   def fn(p1, m1, s1, p2, m2, s2, margin):
     ha = hull_world(spec1, p1, m1, s1 if is_box1 else None)
     hb = hull_world(spec2, p2, m2, s2 if is_box2 else None)
-
-    sep_fa = _face_separations(ha, hb.vert)                # (Fa,)
-    sep_fb = _face_separations(hb, ha.vert)                # (Fb,)
-    ax_e, sep_e, val_e = _edge_axes(ha, hb)               # (Ea,Eb)
-
-    best_fa = jnp.argmax(sep_fa)
-    best_fb = jnp.argmax(sep_fb)
-    sfa = sep_fa[best_fa]
-    sfb = sep_fb[best_fb]
-
-    sep_e_m = jnp.where(val_e, sep_e, -_BIG)
-    flat = jnp.argmax(sep_e_m)
-    ia, ib = flat // sep_e.shape[1], flat % sep_e.shape[1]
-    se = sep_e_m[ia, ib]
-
-    # prefer faces on near ties (stabler manifolds), like the reference's
-    # box-box which biases face axes over edge axes
-    eps = 1e-6
-    face_sep = jnp.maximum(sfa, sfb)
-    use_edge = se > face_sep + eps
-    use_a = sfa >= sfb
-
-    # --- face manifolds (computed both ways, selected) ---
-    # incident face = most anti-parallel to reference normal
-    n_a = ha.face_normal[best_fa]
-    inc_b = jnp.argmin(hb.face_normal @ n_a)
-    d_af, p_af = _face_face_manifold(ha, best_fa, hb, inc_b, margin, nslot)
-
-    n_b = hb.face_normal[best_fb]
-    inc_a = jnp.argmin(ha.face_normal @ n_b)
-    d_bf, p_bf = _face_face_manifold(hb, best_fb, ha, inc_a, margin, nslot)
-
-    d_face = jnp.where(use_a, d_af, d_bf)
-    p_face = jnp.where(use_a, p_af, p_bf)
-    n_face = jnp.where(use_a, n_a, -n_b)                   # 1 -> 2
-
-    # --- edge-edge contact ---
-    c1, c2 = _closest_seg_seg(
-        ha.edge_p0[ia], ha.edge_dir[ia], hb.edge_p0[ib], hb.edge_dir[ib])
-    n_edge = ax_e[ia, ib]
-    d_edge0 = se
-    p_edge0 = 0.5 * (c1 + c2)
-    d_edge = jnp.concatenate([
-        jnp.where(d_edge0 <= margin, d_edge0, _BIG)[None],
-        jnp.full((nslot - 1,), _BIG, dtype=p1.dtype),
-    ])
-    p_edge = jnp.concatenate([p_edge0[None],
-                              jnp.zeros((nslot - 1, 3), dtype=p1.dtype)])
-
-    dist = jnp.where(use_edge, d_edge, d_face)
-    pos = jnp.where(use_edge, p_edge, p_face)
-    nrm = jnp.tile(jnp.where(use_edge, n_edge, n_face)[None], (nslot, 1))
-    # total miss: nothing within margin on the best axis
-    sep_best = jnp.maximum(face_sep, se)
-    dist = jnp.where(sep_best > margin, _BIG, dist)
-    z = jnp.zeros((nslot, 3), dtype=p1.dtype)
-    return dist, pos, nrm, z
+    return hulls_sat_manifold(ha, hb, margin)
 
   return fn

@@ -52,7 +52,8 @@ _TET_FACES = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]], np.int32)
 _TET_OPP = np.array([3, 1, 2, 0], np.int32)
 
 # partner geom types handled at element level (others keep vertex spheres)
-_ELEM_PARTNER_TYPES = (int(GeomType.SPHERE), int(GeomType.CAPSULE))
+_ELEM_PARTNER_TYPES = (
+    int(GeomType.SPHERE), int(GeomType.CAPSULE), int(GeomType.BOX))
 
 
 class ElemGroup(NamedTuple):
@@ -135,7 +136,8 @@ def build_elem_groups(m: Model) -> Tuple[ElemGroup, ...]:
             kind="geom_elem", flexid=f, gtype=t,
             pair_geom=pair_geom, pair_elem=pair_elem, face=None,
             condim=_mix_condim_flex(m, int(pair_geom[0]), f),
-            nslot=2 if t == int(GeomType.CAPSULE) else 1,
+            nslot=(4 if t == int(GeomType.BOX)
+                   else 2 if t == int(GeomType.CAPSULE) else 1),
             npair_run=npair_run,
         ))
 
@@ -348,6 +350,174 @@ def _capsule_simplex(m, p, axis, hl, rc, verts, rt, dim):
           jnp.stack([nrms[k1], nrms[k2]]))
 
 
+# static topology of the element hulls (triangle = two-sided flat hull)
+_TRI_FACES = np.array([[0, 1, 2], [0, 2, 1]], np.int64)
+_TRI_EDGES = np.array([[0, 1], [1, 2], [0, 2]], np.int64)
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int64)
+# for each tet edge, the two entries of _TET_FACES containing both verts
+_TET_EDGE_FACES = np.array([
+    [f for f in range(4) if set(e) <= set(_TET_FACES[f])]
+    for e in _TET_EDGES], np.int64)
+
+
+def _simplex_spec(nv, faces, edges):
+  from mujoco_inversedynamicstest_tpu.ops.hull import HullSpec
+
+  return HullSpec(
+      vert=np.zeros((nv, 3)), face=faces,
+      face_nvert=np.full(len(faces), 3, np.int64),
+      face_normal=np.zeros((len(faces), 3)), tri=faces, edge=edges,
+      edge_face_normal=np.zeros((len(edges), 2, 3)))
+
+
+_TRI_SPEC = _simplex_spec(3, _TRI_FACES, _TRI_EDGES)
+_TET_SPEC = _simplex_spec(4, np.asarray(_TET_FACES, np.int64), _TET_EDGES)
+
+
+def _simplex_hull(verts, dim):
+  """WorldHull of a flex element with *runtime* vertex positions.
+
+  ``hull_world`` poses a static local hull; flex vertices move freely,
+  so face normals / edge frames are computed from the world vertices
+  directly.  A triangle is a flat two-sided hull whose edge Gauss arcs
+  are degenerate (antipodal adjacent normals) — edge-edge SAT axes are
+  therefore pruned for dim-2 elements and contacts are face-generated,
+  which matches the face-biased local solutions the reference's MPR
+  (``mjc_ConvexElem``) returns for cloth-like elements."""
+  from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+
+  if dim == 2:
+    n = math.normalize(jnp.cross(verts[1] - verts[0], verts[2] - verts[0]))
+    face_normal = jnp.stack([n, -n])
+    spec, edge = _TRI_SPEC, _TRI_EDGES
+    efn1 = jnp.broadcast_to(n, (3, 3))
+    efn2 = jnp.broadcast_to(-n, (3, 3))
+  else:
+    centroid = jnp.mean(verts, axis=0)
+    ns = []
+    for face in _TET_FACES:
+      nf = math.normalize(jnp.cross(verts[face[1]] - verts[face[0]],
+                                    verts[face[2]] - verts[face[0]]))
+      s = jnp.sign(jnp.dot(nf, verts[face[0]] - centroid))
+      ns.append(nf * jnp.where(s == 0, 1.0, s))
+    face_normal = jnp.stack(ns)
+    spec, edge = _TET_SPEC, _TET_EDGES
+    efn1 = face_normal[_TET_EDGE_FACES[:, 0]]
+    efn2 = face_normal[_TET_EDGE_FACES[:, 1]]
+  e0, e1 = edge[:, 0], edge[:, 1]
+  return cc.WorldHull(
+      spec=spec, vert=verts, face_normal=face_normal,
+      edge_dir=verts[e1] - verts[e0], edge_p0=verts[e0],
+      edge_fn1=efn1, edge_fn2=efn2, center=jnp.mean(verts, axis=0))
+
+
+def _box_simplex(m, p, mat, size, verts, rt, dim, band):
+  """Box vs rounded element: thin-shell SAT (dim 2), volumetric SAT
+  (dim 3), SDF descent (dim 1).
+
+  dim 2 — the case that needs care.  A cloth triangle is a *two-sided
+  thin shell*: its contact surfaces are the midplane offset by ±rt, and
+  a box face that crosses the midplane by more than rt tunnels through
+  (force-free), exactly like the reference's GJK/EPA on the sphere-swept
+  triangle, whose minimum exit flips to the far surface past the
+  midplane.  Verified against the C engine on a box resting in a cloth
+  hammock: C's depths equal ``|max face separation| - rt`` and its
+  contact normals equal the max-separation *element* face normal (or
+  the negated box face normal when a box face wins) — NOT the global
+  MTV of raw hulls, which over-reports depth ~15x there (tri planes
+  extrapolate through the box corner) and rests the box ~2 cm high.
+  Manifold: the winning face's polygon-intersection candidates, scored
+  two-sided (``score_fn=|d|-rt``) so tunneled candidates don't crowd
+  out load-bearing ones.
+
+  dim 3: tets are volumetric; the standard box-box SAT manifold
+  (``hulls_sat_manifold``) applies, widened by rt.
+
+  dim 1 (cables): a segment cannot slice a face; cheap barycentric SDF
+  descent (closest/deepest point), single slot padded to 4.
+
+  Returns (dist, pos, nrm) of shape (4,), (4,3), (4,3); empty slots
+  carry dist=+BIG."""
+  from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+  from mujoco_inversedynamicstest_tpu.ops.collision_sdf import sdf_box
+
+  if dim == 2:
+    ha = cc.hull_world(cc.BOX_HULL, p, mat, size)
+    hb = _simplex_hull(verts, 2)
+    sep_fa = cc._face_separations(ha, hb.vert)            # (6,)
+    sep_fb = cc._face_separations(hb, ha.vert)            # (2,)
+    best_fa = jnp.argmax(sep_fa)
+    best_fb = jnp.argmax(sep_fb)
+    use_a = sep_fa[best_fa] >= sep_fb[best_fb]
+
+    n_a = ha.face_normal[best_fa]
+    n_b = hb.face_normal[best_fb]
+    two_sided = lambda dd: jnp.abs(dd) - rt
+    inc_b = jnp.argmin(hb.face_normal @ n_a)
+    d_af, p_af = cc._face_face_manifold(
+        ha, best_fa, hb, inc_b, band + rt, 4, score_fn=two_sided)
+    inc_a = jnp.argmin(ha.face_normal @ n_b)
+    d_bf, p_bf = cc._face_face_manifold(
+        hb, best_fb, ha, inc_a, band + rt, 4, score_fn=two_sided)
+
+    d_raw = jnp.where(use_a, d_af, d_bf)
+    pos = jnp.where(use_a, p_af, p_bf)
+    # C frame convention (measured): element face normal on a tri win,
+    # negated box face normal on a box-face win (continuous at ties)
+    nrm = jnp.where(use_a, -n_a, n_b)
+    valid = d_raw < _BIG / 2
+    dist = jnp.where(valid, two_sided(d_raw), d_raw)
+    nrm = jnp.tile(nrm[None], (4, 1))
+    return dist, pos, nrm
+
+  if dim == 3:
+    ha = cc.hull_world(cc.BOX_HULL, p, mat, size)
+    hb = _simplex_hull(verts, 3)
+    dist, pos, nrm, _ = cc.hulls_sat_manifold(ha, hb, band + rt)
+    valid = dist < _BIG / 2
+    dist = jnp.where(valid, dist - rt, dist)
+    pos = jnp.where(valid[:, None], pos - nrm * (rt * 0.5), pos)
+    return dist, pos, nrm
+
+  # dim 1: minimize the box SDF over the segment (barycentric descent)
+  nv = dim + 1
+  vl = (verts - p) @ mat                  # simplex in box frame (nv, 3)
+  phi = lambda w: sdf_box(w @ vl, size)
+  eye = jnp.eye(nv, dtype=verts.dtype)
+  w0s = jnp.concatenate(
+      [eye, jnp.full((1, nv), 1.0 / nv, verts.dtype)], axis=0)
+  alphas = jnp.geomspace(1e-3, 1.0, 8).astype(verts.dtype)
+
+  def descend(w):
+    for _ in range(8):
+      g = jax.grad(phi)(w)
+      g = g - jnp.mean(g)               # tangent to the sum(w)=1 plane
+      cands = jnp.maximum(w[None] - alphas[:, None] * g[None], 0.0)
+      cands = cands / jnp.maximum(
+          cands.sum(-1, keepdims=True), math.MINVAL)
+      vals = jax.vmap(phi)(cands)
+      k = jnp.argmin(vals)
+      w = jnp.where(vals[k] < phi(w), cands[k], w)
+    return w
+
+  ws = jax.vmap(descend)(w0s)
+  vals = jax.vmap(phi)(ws)
+  w = ws[jnp.argmin(vals)]
+  x = w @ vl
+  draw = sdf_box(x, size)
+  nl = math.normalize(jax.grad(sdf_box)(x, size))
+  nrm1 = mat @ nl                         # world, box -> element
+  dist1 = draw - rt
+  xw = mat @ x + p
+  pos1 = xw - nrm1 * draw + nrm1 * (dist1 * 0.5)
+  pad = jnp.full(3, _BIG, dist1.dtype)
+  dist = jnp.concatenate([dist1[None], pad])
+  pos = jnp.concatenate([pos1[None], jnp.zeros((3, 3), pos1.dtype)])
+  nrm = jnp.concatenate([nrm1[None], jnp.zeros((3, 3), nrm1.dtype)])
+  return dist, pos, nrm
+
+
 def _bary_weights(pos, verts, nvert: int, exclude_local: int = -1):
   """Normalized inverse-distance element weights at the contact point
   (``mj_elemBodyWeight``, engine_core_constraint.c:171-205).
@@ -412,6 +582,13 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
           m, gp, gs[0], ev, radius, dim)
       dist, pos, nrm = jax.vmap(fn)(gpos, gmat, gsize, everts)
       nslot = 1
+    elif grp.gtype == int(GeomType.BOX):
+      band = float(max(np.asarray(m.geom_margin)[grp.pair_geom].max(),
+                       float(np.asarray(m.flex_margin)[f])))
+      fn = lambda gp, gm, gs, ev: _box_simplex(
+          m, gp, gm, gs, ev, radius, dim, band)
+      dist, pos, nrm = jax.vmap(fn)(gpos, gmat, gsize, everts)
+      nslot = 4
     else:  # CAPSULE: 2 slots per pair (see _capsule_simplex)
       fn = lambda gp, gm, gs, ev: _capsule_simplex(
           m, gp, gm[:, 2], gs[1], gs[0], ev, radius, dim)

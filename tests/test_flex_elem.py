@@ -157,6 +157,60 @@ def test_capsule_on_sheet_settles_like_c():
   assert abs(z_ours - z_c) < 5e-3, (z_ours, z_c)
 
 
+def test_box_on_sheet_settles_like_c():
+  """A box dropped on the sheet interior rests at the C engine's height.
+
+  Box-element contacts come from barycentric SDF descent here vs
+  multi-point CCD in C (different manifolds), so the comparison is the
+  resting configuration — the ``test_capsule_on_sheet_settles_like_c``
+  protocol."""
+  extra = """
+      <body pos="0.04 0.02 0.06">
+        <freejoint/>
+        <geom type="box" size="0.02 0.015 0.01" mass="0.04"/>
+      </body>
+  """
+  xml = _sheet_xml(extra=extra, internal="false")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(600):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  assert mjd.ncon > 0
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  adr = mjm.jnt_qposadr[free_j]
+  z_ours = float(np.asarray(d.qpos)[adr + 2])
+  z_c = float(mjd.qpos[adr + 2])
+  assert abs(z_ours - z_c) < 5e-3, (z_ours, z_c)
+
+
+def test_small_box_does_not_tunnel_triangle_interior():
+  """Regression for the vertex-sphere gap, box edition: a small box
+  dropped on a triangle center must be caught by element narrowphase."""
+  extra = """
+      <body pos="0.04 0.04 0.05">
+        <freejoint/>
+        <geom type="box" size="0.005 0.005 0.005" mass="0.01"/>
+      </body>
+  """
+  xml = _sheet_xml(extra=extra, internal="false")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(400):
+    d = step(d)
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  z = float(np.asarray(d.qpos)[mjm.jnt_qposadr[free_j] + 2])
+  assert z > -0.05, f"box tunneled through the sheet (z={z})"
+
+
 def _tet_xml(extra=""):
   return f"""
   <mujoco>
