@@ -229,6 +229,28 @@ def _tet_xml(extra=""):
   """
 
 
+def test_box_on_tet_cube_settles_finite():
+  """A box dropped on a dim-3 flex cube: volumetric SAT path runs and the
+  box rests on top (no tunneling through the tet lattice)."""
+  extra = """
+      <body pos="0.02 0.01 0.35">
+        <freejoint/>
+        <geom type="box" size="0.02 0.015 0.01" mass="0.05"/>
+      </body>
+  """
+  mjm = mujoco.MjModel.from_xml_string(_tet_xml(extra))
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(250):
+    d = step(d)
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  z = float(np.asarray(d.qpos)[mjm.jnt_qposadr[free_j] + 2])
+  assert z > 0.05, f"box fell through the tet cube (z={z})"
+
+
 def test_dim3_internal_loads_and_runs():
   """A dim-3 flexcomp with default internal=true loads (evpairs +
   within-tet anti-collapse faces) and simulates finite."""
