@@ -773,26 +773,27 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
   contype = m.flex_contype[vflex]
   conaff = m.flex_conaffinity[vflex]
 
-  # sphere, capsule and box partners collide at element level
-  # (ops/flexcol.py) with no concave gaps; other partner types
-  # (mesh/cylinder/ellipsoid/...) keep the vertex-sphere approximation,
-  # which leaves gaps between adjacent spheres where the reference's
-  # element narrowphase (mjc_ConvexElem) would contact.  Surface the
-  # remaining failure mode at load.
+  # sphere/capsule/box partners collide at element level (ops/flexcol.py)
+  # with no concave gaps, cylinder/ellipsoid partners at element level on
+  # dim-2 cloth; other combinations (mesh partners, cylinder/ellipsoid vs
+  # cables/tets) keep the vertex-sphere approximation, which leaves gaps
+  # between adjacent spheres where the reference's element narrowphase
+  # (mjc_ConvexElem) would contact.  Surface the remaining failure mode
+  # at load.
   import warnings
 
-  from mujoco_inversedynamicstest_tpu.ops.flexcol import (
-      _ELEM_PARTNER_TYPES,
-  )
+  from mujoco_inversedynamicstest_tpu.ops import flexcol
 
   gtype_np = np.asarray(mjm.geom_type)
-  has_fallback_partner = bool(np.any(
-      ~np.isin(gtype_np, list(_ELEM_PARTNER_TYPES) + [int(GeomType.PLANE)])
-  ))
   for f in range(int(mjm.nflex)):
     if not (mjm.flex_contype[f] & mjm.flex_conaffinity[f]):
       continue
-    if not has_fallback_partner or int(mjm.flex_dim[f]) < 1:
+    if int(mjm.flex_dim[f]) < 1:
+      continue
+    covered = [int(GeomType.PLANE)] + [
+        t for t in flexcol._ELEM_PARTNER_TYPES
+        if flexcol.uses_elem_narrowphase(m, f, t)]
+    if not bool(np.any(~np.isin(gtype_np, covered))):
       continue
     ea, en = int(mjm.flex_edgeadr[f]), int(mjm.flex_edgenum[f])
     if en == 0:
@@ -801,11 +802,12 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
     gap = max_edge / 2.0 - float(mjm.flex_radius[f])
     if gap > 0:
       warnings.warn(
-          f"flex {f}: mesh/cylinder/ellipsoid partners use vertex-sphere "
-          f"collision, leaving up to {gap:.4g} m concave gaps (edge "
-          f"{max_edge:.4g} m, radius {float(mjm.flex_radius[f]):.4g} m); "
-          "sphere/capsule/box partners collide at element level and are "
-          "unaffected",
+          f"flex {f}: partner geom types outside the element-level set "
+          f"use vertex-sphere collision, leaving up to {gap:.4g} m "
+          f"concave gaps (edge {max_edge:.4g} m, radius "
+          f"{float(mjm.flex_radius[f]):.4g} m); sphere/capsule/box (all "
+          "dims) and cylinder/ellipsoid (dim-2) partners collide at "
+          "element level and are unaffected",
           stacklevel=3)
   radius = np.asarray(m.flex_radius)[vflex]
   centered = m.flex_centered[vflex]

@@ -53,7 +53,11 @@ _TET_OPP = np.array([3, 1, 2, 0], np.int32)
 
 # partner geom types handled at element level (others keep vertex spheres)
 _ELEM_PARTNER_TYPES = (
-    int(GeomType.SPHERE), int(GeomType.CAPSULE), int(GeomType.BOX))
+    int(GeomType.SPHERE), int(GeomType.CAPSULE), int(GeomType.BOX),
+    int(GeomType.CYLINDER), int(GeomType.ELLIPSOID))
+# smooth (faceless) convex partners: thin-shell support-function contact,
+# dim-2 cloth only (cables/tets keep vertex spheres for these)
+_SMOOTH_PARTNER_TYPES = (int(GeomType.CYLINDER), int(GeomType.ELLIPSOID))
 
 
 class ElemGroup(NamedTuple):
@@ -83,6 +87,8 @@ def uses_elem_narrowphase(m: Model, f: int, gtype: int) -> bool:
   """True when (partner geom type, flex) pairs collide at element level
   (and their vertex-sphere pairs must be excluded from the generic
   path)."""
+  if int(gtype) in _SMOOTH_PARTNER_TYPES:
+    return int(m.flex_dim[f]) == 2
   return (int(m.flex_dim[f]) >= 1 and int(gtype) in _ELEM_PARTNER_TYPES)
 
 
@@ -109,6 +115,8 @@ def build_elem_groups(m: Model) -> Tuple[ElemGroup, ...]:
     if fct | fca:
       for t in _ELEM_PARTNER_TYPES:
         if dim < 1:
+          continue
+        if t in _SMOOTH_PARTNER_TYPES and dim != 2:
           continue
         cand = np.nonzero(
             (gtypes == t) & (gflex < 0)
@@ -463,8 +471,10 @@ def _box_simplex(m, p, mat, size, verts, rt, dim, band):
 
     d_raw = jnp.where(use_a, d_af, d_bf)
     pos = jnp.where(use_a, p_af, p_bf)
-    # C frame convention (measured): element face normal on a tri win,
-    # negated box face normal on a box-face win (continuous at ties)
+    # contact normal (empirically matched to the C engine's GJK witness
+    # frames on the hammock scene, incl. the rest height to 2 mm):
+    # the winning element face normal on a tri win, the negated box face
+    # normal on a box-face win — continuous at ties
     nrm = jnp.where(use_a, -n_a, n_b)
     valid = d_raw < _BIG / 2
     dist = jnp.where(valid, two_sided(d_raw), d_raw)
@@ -516,6 +526,68 @@ def _box_simplex(m, p, mat, size, verts, rt, dim, band):
   pos = jnp.concatenate([pos1[None], jnp.zeros((3, 3), pos1.dtype)])
   nrm = jnp.concatenate([nrm1[None], jnp.zeros((3, 3), nrm1.dtype)])
   return dist, pos, nrm
+
+
+def _smooth_simplex_thin(m, p, mat, size, verts, rt, gtype):
+  """Smooth convex partner (cylinder/ellipsoid) vs dim-2 thin-shell
+  element, via the partner's analytic support function.
+
+  Same empirically-validated rule as the box thin-shell path
+  (``_box_simplex`` dim 2): separation = support-function distance of
+  the partner behind the winning triangle face, two-sided depth
+  ``|sep| - rt``, normal = the winning face normal.  The witness is the
+  partner's support point along the face normal, kept only when its
+  plane projection lands inside this triangle (neighbors own the rest
+  of the surface).  Single slot.
+
+  Reference: ``mjc_ConvexElem`` (engine_collision_convex.c:1621) runs
+  these pairs through GJK/EPA on the exact quadric supports."""
+  n0 = math.normalize(jnp.cross(verts[1] - verts[0], verts[2] - verts[0]))
+
+  if gtype == int(GeomType.CYLINDER):
+    a = mat[:, 2]
+    r, hl = size[0], size[1]
+
+    def supp(u):
+      """Support point of the cylinder along world direction u."""
+      ca = jnp.dot(u, a)
+      perp = u - ca * a
+      lp = jnp.linalg.norm(perp)
+      rad = jnp.where(lp > 1e-9, r * perp / jnp.maximum(lp, math.MINVAL),
+                      jnp.zeros_like(perp))
+      return p + jnp.sign(ca) * hl * a + rad
+  else:  # ELLIPSOID
+
+    def supp(u):
+      ul = mat.T @ u
+      w = size * ul
+      lw = jnp.maximum(jnp.linalg.norm(w), math.MINVAL)
+      return p + mat @ (size * w / lw)
+
+  def sep_along(o):
+    # min over partner surface of o.x, minus the plane offset
+    return jnp.dot(o, supp(-o)) - jnp.dot(o, verts[0])
+
+  sep_up = sep_along(n0)
+  sep_dn = sep_along(-n0)
+  o = jnp.where(sep_up >= sep_dn, 1.0, -1.0) * n0
+  s = jnp.maximum(sep_up, sep_dn)
+
+  ps = supp(-o)                           # deepest partner point
+  proj = ps - o * jnp.dot(o, ps - verts[0])
+  # inside-triangle test (edge cross products against the face normal)
+  inside = jnp.asarray(True)
+  for i in range(3):
+    e = verts[(i + 1) % 3] - verts[i]
+    inside = inside & (
+        jnp.dot(jnp.cross(e, proj - verts[i]), n0)
+        * jnp.dot(jnp.cross(e, verts[(i + 2) % 3] - verts[i]), n0) >= 0)
+
+  dist = jnp.where(inside, jnp.abs(s) - rt, _BIG)
+  pos = proj + o * (s * 0.5)
+  # normal: push the partner back to the winning (bulk) side of the
+  # midplane; geom1 -> geom2 convention (cf. _box_simplex dim 2)
+  return dist, pos, -o
 
 
 def _bary_weights(pos, verts, nvert: int, exclude_local: int = -1):
@@ -589,6 +661,11 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
           m, gp, gm, gs, ev, radius, dim, band)
       dist, pos, nrm = jax.vmap(fn)(gpos, gmat, gsize, everts)
       nslot = 4
+    elif grp.gtype in _SMOOTH_PARTNER_TYPES:
+      fn = lambda gp, gm, gs, ev: _smooth_simplex_thin(
+          m, gp, gm, gs, ev, radius, grp.gtype)
+      dist, pos, nrm = jax.vmap(fn)(gpos, gmat, gsize, everts)
+      nslot = 1
     else:  # CAPSULE: 2 slots per pair (see _capsule_simplex)
       fn = lambda gp, gm, gs, ev: _capsule_simplex(
           m, gp, gm[:, 2], gs[1], gs[0], ev, radius, dim)

@@ -229,6 +229,56 @@ def _tet_xml(extra=""):
   """
 
 
+def test_cylinder_on_sheet_settles_like_c():
+  """A cylinder dropped on the sheet interior rests at the C engine's
+  height (thin-shell support-function contact, dim-2)."""
+  extra = """
+      <body pos="0.0 0.0 0.03">
+        <freejoint/>
+        <geom type="cylinder" size="0.03 0.01" mass="0.03"/>
+      </body>
+  """
+  xml = _sheet_xml(extra=extra, internal="false")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(600):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  assert mjd.ncon > 0
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  adr = mjm.jnt_qposadr[free_j]
+  z_ours = float(np.asarray(d.qpos)[adr + 2])
+  z_c = float(mjd.qpos[adr + 2])
+  assert abs(z_ours - z_c) < 5e-3, (z_ours, z_c)
+
+
+def test_ellipsoid_does_not_tunnel_triangle_interior():
+  """A small ellipsoid dropped on a triangle center is caught by the
+  thin-shell element contact (vertex spheres would miss)."""
+  extra = """
+      <body pos="0.04 0.04 0.05">
+        <freejoint/>
+        <geom type="ellipsoid" size="0.006 0.005 0.004" mass="0.01"/>
+      </body>
+  """
+  xml = _sheet_xml(extra=extra, internal="false")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(400):
+    d = step(d)
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  z = float(np.asarray(d.qpos)[mjm.jnt_qposadr[free_j] + 2])
+  assert z > -0.05, f"ellipsoid tunneled through the sheet (z={z})"
+
+
 def test_box_on_tet_cube_settles_finite():
   """A box dropped on a dim-3 flex cube: volumetric SAT path runs and the
   box rests on top (no tunneling through the tet lattice)."""
