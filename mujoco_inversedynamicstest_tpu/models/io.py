@@ -14,6 +14,8 @@ layout: dense mass matrix, level-wise tree tables, branchless joint selects.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional, Tuple
 
 import jax
@@ -303,22 +305,64 @@ def _put_flex(mjm, dtype) -> dict:
             flat_ee[eebase + e * depe:eebase + (e + 1) * depe] + edgeadr[f])
 
   # dense metric from triangular flex_stiffness (21 floats/element; empty
-  # when the model has no flex elasticity)
+  # when the model has no flex elasticity).  For trilinear (interp)
+  # flexes the same buffer holds the (3N, 3N) nodal stretch-frame matrix
+  # instead (``mj_passive`` reads it at ``21*elemadr``,
+  # engine_passive.c:147) — extracted separately, element metric zero.
+  interp = _np(getattr(mjm, "flex_interp", np.zeros(nflex, np.int64)))
   stiff = _np(mjm.flex_stiffness)
-  stiff = (stiff.reshape(nelem, 21) if stiff.size
-           else np.zeros((nelem, 21)))
   metric = np.zeros((nelem, nepe, nepe))
-  tri_r, tri_c = np.triu_indices(nepe)
-  for f in range(nflex):
-    if dim[f] == 1 or mjm.flex_rigid[f]:
-      continue
-    depe = {1: 1, 2: 3, 3: 6}[int(dim[f])]
-    r, c = np.triu_indices(depe)
-    sl = slice(elemadr[f], elemadr[f] + elemnum[f])
-    metric[sl, r, c] = stiff[sl, :len(r)]
-    metric[sl, c, r] = stiff[sl, :len(r)]
+  nodal_stiff = []
+  if interp.any():
+    nodenum = _np(mjm.flex_nodenum)
+    for f in range(nflex):
+      if not interp[f]:
+        nodal_stiff.append(np.zeros((0, 0)))
+        continue
+      n3 = 3 * int(nodenum[f])
+      base = 21 * int(elemadr[f])
+      nodal_stiff.append(stiff[base:base + n3 * n3].reshape(n3, n3))
+  else:
+    stiff = (stiff.reshape(nelem, 21) if stiff.size
+             else np.zeros((nelem, 21)))
+    for f in range(nflex):
+      if dim[f] == 1 or mjm.flex_rigid[f]:
+        continue
+      depe = {1: 1, 2: 3, 3: 6}[int(dim[f])]
+      r, c = np.triu_indices(depe)
+      sl = slice(elemadr[f], elemadr[f] + elemnum[f])
+      metric[sl, r, c] = stiff[sl, :len(r)]
+      metric[sl, c, r] = stiff[sl, :len(r)]
+
+  # trilinear interpolation weights: W[v, j] = prod over axes of
+  # (coord or 1-coord) selected by node index bits (mj_flex,
+  # engine_core_smooth.c:496: bit0 -> z, bit1 -> y, bit2 -> x)
+  interp_w = []
+  if interp.any():
+    vert0 = _np(mjm.flex_vert0).reshape(nvert, 3)
+    nodenum = _np(mjm.flex_nodenum)
+    for f in range(nflex):
+      if not interp[f]:
+        interp_w.append(np.zeros((0, 0)))
+        continue
+      nn = int(nodenum[f])
+      co = vert0[vertadr[f]:vertadr[f] + mjm.flex_vertnum[f]]
+      j = np.arange(nn)
+      wz = np.where(j & 1, co[:, 2:3], 1 - co[:, 2:3])
+      wy = np.where(j & 2, co[:, 1:2], 1 - co[:, 1:2])
+      wx = np.where(j & 4, co[:, 0:1], 1 - co[:, 0:1])
+      interp_w.append(wx * wy * wz)
 
   return dict(
+      flex_interp_np=interp,
+      flex_nodeadr_np=_np(getattr(mjm, "flex_nodeadr", np.zeros(nflex))),
+      flex_nodenum_np=_np(getattr(mjm, "flex_nodenum", np.zeros(nflex))),
+      flex_nodebodyid_np=_np(getattr(mjm, "flex_nodebodyid", np.zeros(0))),
+      flex_interp_w=tuple(interp_w),
+      flex_node0=_jx(getattr(mjm, "flex_node0", np.zeros((0, 3))), dtype),
+      flex_stiffness_nodal=tuple(_jx(k, dtype) for k in nodal_stiff),
+      has_flex_nodal_elasticity=bool(
+          any(np.abs(k).max() > 0 for k in nodal_stiff if k.size)),
       flex_vert=_jx(mjm.flex_vert, dtype),
       flexedge_length0=_jx(mjm.flexedge_length0, dtype),
       flexedge_invweight0=_jx(mjm.flexedge_invweight0, dtype),
@@ -355,6 +399,7 @@ def _put_flex(mjm, dtype) -> dict:
       flex_vertflexid=vertflexid,
       flex_elemlayer_np=_np(mjm.flex_elemlayer),
       flex_internal_np=_np(mjm.flex_internal).astype(bool),
+      flex_selfcollide_np=_np(mjm.flex_selfcollide),
       flex_evpair_np=(_np(mjm.flex_evpair).reshape(-1, 2)
                       if int(getattr(mjm, "nflexevpair", 0))
                       else np.zeros((0, 2), np.int32)),
@@ -387,13 +432,28 @@ def validate_model(mjm, _user_sensor_ok: bool = False) -> None:
   if mjm.opt.enableflags & EnableBit.OVERRIDE:
     bad("contact override (o_margin/o_solref/o_solimp, flag override)")
 
+  any_interp = any(mjm.flex_interp[f] for f in range(getattr(mjm, "nflex", 0)))
   for f in range(getattr(mjm, "nflex", 0)):
+    # trilinear nodal interpolation is supported for the configurations
+    # the flexcomp generator emits (user_flexcomp.cc dof="trilinear"):
+    # centered 8-node flexes, no internal/self contacts, all flexes
+    # interp or none (mixed models would need split vertex-geom maps)
     if mjm.flex_interp[f]:
-      bad("flex trilinear nodal interpolation (flex_interp=1)")
-    if getattr(mjm, "nflexnode", 0):
-      bad("flex nodal dofs")
-    if mjm.flex_selfcollide[f] not in (0,):  # mjFLEXSELF_NONE
-      bad("flex self-collision")
+      if mjm.flex_interp[f] != 1 or int(mjm.flex_nodenum[f]) != 8:
+        bad("flex interpolation order beyond trilinear (8 nodes)")
+      if not mjm.flex_centered[f]:
+        bad("non-centered trilinear flex nodes")
+      if mjm.flex_internal[f]:
+        bad("internal contacts on a trilinear flex")
+      if mjm.flex_selfcollide[f] not in (0,):
+        bad("self-collision on a trilinear flex")
+    elif any_interp:
+      bad("mixed trilinear and vertex-dof flexes in one model")
+    # flex self-collision: simulated as a static element-pair budget
+    # (ops/flexcol.py 'selfpair' groups; ref mj_collideElems,
+    # engine_collision_driver.c:469) — all mjFLEXSELF midphase modes map
+    # to the same runtime top-k candidate set (midphase choice is a CPU
+    # performance knob, not a semantics change)
     # flex internal contacts (element-vertex evpairs + dim-3 within-tet
     # faces) are simulated at element level (ops/flexcol.py; ref
     # mj_collideFlexInternal, engine_collision_driver.c:1726) — the
@@ -768,6 +828,12 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
   vertex-vertex pairs are excluded (selfcollide="none" is the supported
   and validated mode).
   """
+  # trilinear flexes have no vertex bodies (flex_vertbodyid = -1);
+  # their collision runs entirely through runtime element groups
+  # (ops/flexcol.py geom_elem + plane_vert kinds) — no vertex geoms
+  if m.flex_interp_np is not None and np.all(m.flex_interp_np != 0):
+    return m
+
   nvert = m.nflexvert
   vflex = m.flex_vertflexid
   contype = m.flex_contype[vflex]
@@ -805,9 +871,9 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
           f"flex {f}: partner geom types outside the element-level set "
           f"use vertex-sphere collision, leaving up to {gap:.4g} m "
           f"concave gaps (edge {max_edge:.4g} m, radius "
-          f"{float(mjm.flex_radius[f]):.4g} m); sphere/capsule/box (all "
-          "dims) and cylinder/ellipsoid (dim-2) partners collide at "
-          "element level and are unaffected",
+          f"{float(mjm.flex_radius[f]):.4g} m); sphere/capsule/box/mesh "
+          "(all dims) and cylinder/ellipsoid (dim-2) partners collide "
+          "at element level and are unaffected",
           stacklevel=3)
   radius = np.asarray(m.flex_radius)[vflex]
   centered = m.flex_centered[vflex]
@@ -863,13 +929,37 @@ def _append_flex_geoms(m: Model, mjm, dtype) -> Model:
 
 
 def load_model(path_or_xml: str, dtype=None) -> Model:
-  """Loads an MJCF file or XML string directly into a ``Model``."""
+  """Loads an MJCF file or XML string directly into a ``Model``.
+
+  Models referencing the ``mujoco.sdf.sdflib`` plugin (which the pip
+  wheel does not ship) compile through the framework's host-side stub:
+  the referenced mesh is pre-scanned and voxelized so the compiler's
+  marching-cubes pass regenerates its geometry (plugins/sdflib.py).
+  """
   import mujoco  # deferred: host-only dependency
 
-  if path_or_xml.lstrip().startswith("<"):
-    mjm = mujoco.MjModel.from_xml_string(path_or_xml)
+  is_xml = path_or_xml.lstrip().startswith("<")
+  xml_text = path_or_xml if is_xml else open(path_or_xml).read()
+  base_dir = "." if is_xml else os.path.dirname(
+      os.path.abspath(path_or_xml))
+  grid = None
+  if "mujoco.sdf.sdflib" in xml_text:
+    from mujoco_inversedynamicstest_tpu.plugins import sdflib
+
+    grid = sdflib.prescan_xml(xml_text, base_dir)
+
+  def compile_():
+    if is_xml:
+      return mujoco.MjModel.from_xml_string(path_or_xml)
+    return mujoco.MjModel.from_xml_path(path_or_xml)
+
+  if grid is not None:
+    from mujoco_inversedynamicstest_tpu.plugins import sdflib
+
+    with sdflib.host_compile_grid(grid):
+      mjm = compile_()
   else:
-    mjm = mujoco.MjModel.from_xml_path(path_or_xml)
+    mjm = compile_()
   return put_model(mjm, dtype=dtype)
 
 

@@ -550,11 +550,27 @@ class Model:
   # compiler's predefined element-vertex pair list
   flex_elemlayer_np: np.ndarray = static_field(default=None)  # (nflexelem,)
   flex_internal_np: np.ndarray = static_field(default=None)   # (nflex,)
+  flex_selfcollide_np: np.ndarray = static_field(default=None)  # (nflex,)
   flex_evpair_np: np.ndarray = static_field(default=None)     # (nev, 2)
   flex_evpairadr_np: np.ndarray = static_field(default=None)  # (nflex,)
   flex_evpairnum_np: np.ndarray = static_field(default=None)  # (nflex,)
   has_flex_elasticity: bool = static_field(default=False)
   has_flex_edge_sd: bool = static_field(default=False)
+  # trilinear nodal interpolation (flex_interp=1; ref mj_flex
+  # engine_core_smooth.c:494): vertices are trilinear combinations of 8
+  # node-body positions; flex_interp_w holds the static per-flex
+  # (vertnum, nodenum) weight matrix from the unit-cube vertex coords
+  flex_interp_np: np.ndarray = static_field(default=None)      # (nflex,)
+  flex_nodeadr_np: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_nodenum_np: np.ndarray = static_field(default=None)     # (nflex,)
+  flex_nodebodyid_np: np.ndarray = static_field(default=None)  # (nnode,)
+  flex_interp_w: Tuple = static_field(default=())  # per flex np (nv_f, nn_f)
+  flex_node0: jax.Array = None           # (nflexnode, 3) world rest pos
+  # nodal stretch-frame stiffness (mj_passive interp branch,
+  # engine_passive.c:125): per interp flex a (3N, 3N) matrix (negative
+  # definite, rigid modes in the null space); () when no interp flex
+  flex_stiffness_nodal: Tuple = ()
+  has_flex_nodal_elasticity: bool = static_field(default=False)
 
   # ------- sensors -------
   sensor_cutoff: jax.Array = None     # (nsensor,)

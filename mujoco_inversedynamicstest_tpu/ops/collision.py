@@ -211,9 +211,14 @@ def contact_layout(m: Model) -> ContactLayout:
       partner_t = np.where(f1 >= 0, t2a, t1a)
       flex_dim_of = np.where(
           f1 >= 0, fdim[np.maximum(f1, 0)], fdim[np.maximum(f2, 0)])
-      drop = (one_flex
-              & np.isin(partner_t, flexcol._ELEM_PARTNER_TYPES)
-              & (flex_dim_of >= 1))
+      elem_level = (np.isin(partner_t, flexcol._ELEM_PARTNER_TYPES)
+                    & (flex_dim_of >= 1))
+      # smooth partners (cylinder/ellipsoid) collide at element level on
+      # dim-2 cloth only — their dim-1/3 vertex-sphere pairs must stay
+      # (flexcol.uses_elem_narrowphase, vectorized)
+      smooth = np.isin(partner_t, flexcol._SMOOTH_PARTNER_TYPES)
+      elem_level &= ~smooth | (flex_dim_of == 2)
+      drop = one_flex & elem_level
       keep &= ~drop
 
     if len(m.pair_geom1):
@@ -338,6 +343,12 @@ def contact_layout(m: Model) -> ContactLayout:
       elem_groups=elem_groups,
       has_bary=bool(elem_groups),
   )
+
+
+def _bary_w_of(m: Model) -> int:
+  from mujoco_inversedynamicstest_tpu.ops import flexcol
+
+  return flexcol.bary_width(m)
 
 
 def ncon_rows(m: Model) -> int:
@@ -828,8 +839,9 @@ def collision(m: Model, d: Data) -> Data:
       gb = jnp.asarray(m.geom_bodyid)
       g1cat = jnp.concatenate(geom1s)
       g2cat = jnp.concatenate(geom2s)
-      bb = jnp.zeros((n_geom_slots, 2, 4), jnp.int32)
-      bw = jnp.zeros((n_geom_slots, 2, 4), dtype)
+      bwid = flexcol.bary_width(m)
+      bb = jnp.zeros((n_geom_slots, 2, bwid), jnp.int32)
+      bw = jnp.zeros((n_geom_slots, 2, bwid), dtype)
       bb = bb.at[:, 0, 0].set(gb[g1cat])
       bb = bb.at[:, 1, 0].set(gb[g2cat])
       bw = bw.at[:, 0, 0].set(1.0).at[:, 1, 0].set(1.0)
@@ -930,6 +942,8 @@ def alloc_contact(m: Model, dtype) -> Contact:
       solreffriction=z(n, 2), solimp=z(n, 5),
       geom1=np.zeros(n, np.int32), geom2=np.zeros(n, np.int32),
       efc_address=lay.efc_address, dim=lay.dim,
-      bary_body=(np.zeros((n, 2, 4), np.int32) if lay.has_bary else None),
-      bary_w=(np.zeros((n, 2, 4), npdt) if lay.has_bary else None),
+      bary_body=(np.zeros((n, 2, _bary_w_of(m)), np.int32)
+                 if lay.has_bary else None),
+      bary_w=(np.zeros((n, 2, _bary_w_of(m)), npdt)
+              if lay.has_bary else None),
   )

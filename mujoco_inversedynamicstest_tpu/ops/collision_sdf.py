@@ -134,55 +134,6 @@ def _sdf_pair_kernel(t1: int, t2: int, inits):
   return fn
 
 
-def _mid_init(p1, m1, s1, p2, m2, s2):
-  return (0.5 * (p1 + p2))[None]
-
-
-def _closest_axis_points(p1, a1, h1, p2, a2, h2):
-  """Closest points between the two shapes' axis segments."""
-  d1, d2 = a1 * (2 * h1), a2 * (2 * h2)
-  q1, q2 = p1 - a1 * h1, p2 - a2 * h2
-  r = q1 - q2
-  a = jnp.dot(d1, d1)
-  e = jnp.dot(d2, d2)
-  b = jnp.dot(d1, d2)
-  c = jnp.dot(d1, r)
-  f = jnp.dot(d2, r)
-  den = a * e - b * b
-  t = jnp.clip((b * f - c * e) / jnp.where(jnp.abs(den) < 1e-12, 1.0, den),
-               0.0, 1.0)
-  t = jnp.where(jnp.abs(den) < 1e-12, 0.5, t)
-  s = jnp.clip((b * t + f) / jnp.maximum(e, 1e-12), 0.0, 1.0)
-  t = jnp.clip((b * s - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
-  return q1 + t * d1, q2 + s * d2
-
-
-def _capsule_ends_init(p1, m1, s1, p2, m2, s2):
-  """Closest-axis midpoint + capsule endpoint offsets (3 starts -> 2
-  slots would drop one; keep 2: closest point and its mirror)."""
-  c1, c2 = _closest_axis_points(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
-  best = 0.5 * (c1 + c2)
-  mid = 0.5 * (p1 + p2)
-  vec = m1[:, 2] * s1[1]
-  # two starts: the axis-closest point, and the endpoint farther from it
-  # (captures lying-parallel double contacts)
-  alt1, alt2 = mid - vec, mid + vec
-  far = jnp.where(
-      math.norm_safe(alt1 - best) > math.norm_safe(alt2 - best), alt1, alt2)
-  return jnp.stack([best, far])
-
-
-def _cyl_cyl_init(p1, m1, s1, p2, m2, s2):
-  """Four starts: the axis-closest point + offsets along both axes."""
-  c1, c2 = _closest_axis_points(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
-  best = 0.5 * (c1 + c2)
-  mid = 0.5 * (p1 + p2)
-  v1 = m1[:, 2] * s1[1]
-  v2 = m2[:, 2] * s2[1]
-  del v2
-  return jnp.stack([best, mid - v1, mid + v1, mid])
-
-
 # --------------------------------------------------------------------------
 # analytic fast paths
 # --------------------------------------------------------------------------
@@ -234,37 +185,77 @@ def sphere_cylinder(p1, m1, s1, p2, m2, s2, margin):
           z[None])
 
 
-def _cyl_box_init(p1, m1, s1, p2, m2, s2):
-  """Cylinder vs box: starts on the cylinder's near-surface line (body-
-  center midpoints can fall deep inside the box and descend to the wrong
-  surface pairing)."""
-  axis = m1[:, 2]
-  h, r = s1[1], s1[0]
-  t = jnp.clip(jnp.dot(p2 - p1, axis), -h, h)
-  c = p1 + axis * t
-  radial = p2 - c
-  radial = radial - axis * jnp.dot(radial, axis)
-  radial = radial / jnp.maximum(math.norm_safe(radial), math.MINVAL)
-  sp = c + radial * r
-  e1 = p1 - axis * h + radial * r
-  e2 = p1 + axis * h + radial * r
-  return jnp.stack([sp, e1, e2, 0.5 * (e1 + e2)])
+# --------------------------------------------------------------------------
+# support-descent narrowphase (ops/ccd.py) — the hot-path kernels
+# --------------------------------------------------------------------------
+
+
+def _feature_seeds(t: int, mat, dc):
+  """Feature-aligned descent seeds for one geom: its cap/face normals
+  and (for round geoms) the radial direction, signed toward ``dc``.
+  Degenerate seeds (axis exactly perpendicular to dc, or dc along the
+  axis for the radial seed) fall back to ``dc`` so every seed is a
+  valid unit direction."""
+
+  def signed(a):
+    return a * jnp.where(jnp.sum(a * dc) >= 0, 1.0, -1.0)
+
+  s = []
+  if t in (3, 5):                        # capsule, cylinder
+    a = mat[:, 2]
+    s.append(signed(a))
+    radial = dc - jnp.sum(dc * a) * a
+    rn = jnp.linalg.norm(radial)
+    s.append(jnp.where(rn > 1e-9, radial / jnp.maximum(rn, math.MINVAL),
+                       dc))
+  elif t in (4, 6):                      # ellipsoid, box
+    for i in range(3):
+      s.append(signed(mat[:, i]))
+  return s
+
+
+def _support_pair_kernel(t1: int, t2: int):
+  """Single-slot convex narrowphase by support direction descent.
+
+  Replaces the clearance-SDF gradient descent (still available above as
+  ``_sdf_pair_kernel``) on the humanoid100 hot path: ~5x fewer
+  function evaluations per pair, and exactly the reference's default
+  contact count — native GJK+EPA emits ONE contact per convex pair
+  when ``mjENBL_MULTICCD`` is off (``mjc_Convex``,
+  engine_collision_convex.c:914).  dist/pos/normal follow the
+  native-CCD witness convention (``mjc_CCDIteration``:792)."""
+  from mujoco_inversedynamicstest_tpu.ops import ccd
+
+  def fn(p1, m1, s1, p2, m2, s2, margin):
+    supp1 = ccd.geom_support_fn(t1, p1, m1, s1)
+    supp2 = ccd.geom_support_fn(t2, p2, m2, s2)
+    dc = math.normalize(p2 - p1)
+    seeds = jnp.stack([dc] + _feature_seeds(t1, m1, dc)
+                      + _feature_seeds(t2, m2, dc))
+    dist, u, wa = ccd.support_descent_staged(supp1, supp2, seeds)
+    wb = supp2(-u)
+    pos = 0.5 * (wa + wb)
+    z = jnp.zeros(3, dtype=p1.dtype)
+    return (jnp.where(dist <= margin, dist, _BIG)[None], pos[None],
+            u[None], z[None])
+
+  return fn
 
 
 # GeomType values: PLANE=0, SPHERE=2, CAPSULE=3, ELLIPSOID=4, CYLINDER=5,
 # BOX=6.  (cylinder-box and ellipsoid-box pairs exceed the MJX capability
-# table — the reference routes them through libccd MPR.)
+# table — the reference routes them through CCD.)
 SDF_NARROWPHASE = {
     (0, 4): plane_ellipsoid,
-    (2, 4): _sdf_pair_kernel(2, 4, _mid_init),
+    (2, 4): _support_pair_kernel(2, 4),
     (2, 5): sphere_cylinder,
-    (3, 4): _sdf_pair_kernel(3, 4, _mid_init),
-    (3, 5): _sdf_pair_kernel(3, 5, _capsule_ends_init),
-    (4, 4): _sdf_pair_kernel(4, 4, _mid_init),
-    (4, 5): _sdf_pair_kernel(4, 5, _mid_init),
-    (4, 6): _sdf_pair_kernel(4, 6, _mid_init),
-    (5, 5): _sdf_pair_kernel(5, 5, _cyl_cyl_init),
-    (5, 6): _sdf_pair_kernel(5, 6, _cyl_box_init),
+    (3, 4): _support_pair_kernel(3, 4),
+    (3, 5): _support_pair_kernel(3, 5),
+    (4, 4): _support_pair_kernel(4, 4),
+    (4, 5): _support_pair_kernel(4, 5),
+    (4, 6): _support_pair_kernel(4, 6),
+    (5, 5): _support_pair_kernel(5, 5),
+    (5, 6): _support_pair_kernel(5, 6),
 }
 
 SDF_SLOTS = {
@@ -272,12 +263,12 @@ SDF_SLOTS = {
     (2, 4): 1,
     (2, 5): 1,
     (3, 4): 1,
-    (3, 5): 2,
+    (3, 5): 1,
     (4, 4): 1,
     (4, 5): 1,
     (4, 6): 1,
-    (5, 5): 4,
-    (5, 6): 4,
+    (5, 5): 1,
+    (5, 6): 1,
 }
 
 

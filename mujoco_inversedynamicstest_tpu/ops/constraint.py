@@ -765,7 +765,7 @@ def _contact_rows(m: Model, d: Data):
     # and mj_diagApprox flex branch)
     def side_rows_bary(side):
       total = jnp.zeros((nrows, d.cdof.shape[0]), dtype)
-      for kk in range(4):
+      for kk in range(con.bary_body.shape[2]):
         b = con.bary_body[slot_idx, side, kk]
         w = con.bary_w[slot_idx, side, kk]
         off = p_row - com[b]

@@ -4,15 +4,20 @@ Capability analog of the reference's flex collision driver
 (``src/engine/engine_collision_driver.c``):
 
 * **external geom:element narrowphase** (``mj_collideGeomElem``:412/2100+)
-  — sphere/capsule geoms collide against the flex *elements* (rounded
-  capsule segments for dim-1, rounded triangles for dim-2, rounded tets
-  for dim-3) instead of the vertex-sphere approximation, closing the
-  concave-gap tunneling hole.  The reference routes most of these through
-  CCD (``mjc_ConvexElem``); here each pair is an exact closest-point
-  query (the rounded-simplex geometry admits closed forms), fully
-  vmappable with static shapes.  Plane:flex stays vertex-based — that IS
-  the reference's behavior (``mj_collidePlaneFlex``:405).  Box/mesh
-  partners keep the vertex-sphere fallback (documented approximation).
+  — every rigid partner class collides against the flex *elements*
+  (rounded capsule segments for dim-1, rounded triangles for dim-2,
+  rounded tets for dim-3) instead of the vertex-sphere approximation:
+  sphere/capsule via exact rounded-simplex closest points, boxes via
+  thin-shell/volumetric SAT manifolds, mesh hulls and smooth partners
+  (cylinder/ellipsoid) via support direction descent (``ops/ccd.py``)
+  with the ``mjc_fixNormal`` smooth-surface normal restoration.
+  Plane:flex stays vertex-based — that IS the reference's behavior
+  (``mj_collidePlaneFlex``:405; for trilinear flexes, which carry no
+  vertex geoms, the same contacts run at runtime vertex positions).
+* **self-collision** (``mj_collideElems``:469): static non-adjacent
+  element-pair candidates, runtime top-k bounding budget (the
+  static-shape analog of the SAP/BVH midphase), element-element
+  support-descent narrowphase with margin 0.
 * **internal contacts** (``mj_collideFlexInternal``:1726): the compiler's
   predefined element-vertex pairs (``flex_evpair``) collide each vertex
   sphere against its non-adjacent element, and dim-3 flexes add the
@@ -54,7 +59,7 @@ _TET_OPP = np.array([3, 1, 2, 0], np.int32)
 # partner geom types handled at element level (others keep vertex spheres)
 _ELEM_PARTNER_TYPES = (
     int(GeomType.SPHERE), int(GeomType.CAPSULE), int(GeomType.BOX),
-    int(GeomType.CYLINDER), int(GeomType.ELLIPSOID))
+    int(GeomType.CYLINDER), int(GeomType.ELLIPSOID), int(GeomType.MESH))
 # smooth (faceless) convex partners: thin-shell support-function contact,
 # dim-2 cloth only (cables/tets keep vertex spheres for these)
 _SMOOTH_PARTNER_TYPES = (int(GeomType.CYLINDER), int(GeomType.ELLIPSOID))
@@ -71,6 +76,18 @@ class ElemGroup(NamedTuple):
   condim: int
   nslot: int             # slots per pair (always 1)
   npair_run: int
+  meshid: int = -1       # mesh data id (MESH partners; one group per mesh)
+
+
+
+def bary_width(m: Model) -> int:
+  """Per-side (body, weight) slots in Contact.bary_*: 4 for vertex-dof
+  flexes (element corners), 8 when the model has trilinear flexes (all
+  8 node bodies receive weight; ref mj_vertBodyWeight,
+  engine_core_constraint.c:1061)."""
+  if m.flex_interp_np is not None and np.any(m.flex_interp_np):
+    return 8
+  return 4
 
 
 def _flexgeom_base(m: Model) -> int:
@@ -124,29 +141,85 @@ def build_elem_groups(m: Model) -> Tuple[ElemGroup, ...]:
                 (fct & conaff)) != 0))[0]
         if not cand.size:
           continue
-        pg, pe = [], []
-        for g in cand:
-          b = int(gbody[g])
-          # ref mj_collideGeomElem: skip elements sharing a body with
-          # the geom (static: vertbodyid is compile-time data)
-          share = np.any(vertbody[elem_verts] == b, axis=1)
-          keep = elems[~share]
-          pg.append(np.full(len(keep), g, np.int32))
-          pe.append(keep)
-        pair_geom = np.concatenate(pg) if pg else np.zeros(0, np.int32)
-        if not pair_geom.size:
-          continue
-        pair_elem = np.concatenate(pe)
-        npair_run = len(pair_geom)
-        if m.max_geom_pairs > 0:
-          npair_run = min(npair_run, m.max_geom_pairs)
+        # mesh partners: one group per distinct mesh (static hull verts)
+        if t == int(GeomType.MESH):
+          dataid = np.asarray(m.geom_dataid)[cand]
+          subsets = [(int(mid), cand[dataid == mid])
+                     for mid in np.unique(dataid)]
+        else:
+          subsets = [(-1, cand)]
+        for meshid, csub in subsets:
+          pg, pe = [], []
+          for g in csub:
+            b = int(gbody[g])
+            # ref mj_collideGeomElem: skip elements sharing a body with
+            # the geom (static: vertbodyid is compile-time data)
+            share = np.any(vertbody[elem_verts] == b, axis=1)
+            keep = elems[~share]
+            pg.append(np.full(len(keep), g, np.int32))
+            pe.append(keep)
+          pair_geom = np.concatenate(pg) if pg else np.zeros(0, np.int32)
+          if not pair_geom.size:
+            continue
+          pair_elem = np.concatenate(pe)
+          npair_run = len(pair_geom)
+          if m.max_geom_pairs > 0:
+            npair_run = min(npair_run, m.max_geom_pairs)
+          groups.append(ElemGroup(
+              kind="geom_elem", flexid=f, gtype=t,
+              pair_geom=pair_geom, pair_elem=pair_elem, face=None,
+              condim=_mix_condim_flex(m, int(pair_geom[0]), f),
+              nslot=(4 if t == int(GeomType.BOX)
+                     else 2 if t == int(GeomType.CAPSULE) else 1),
+              npair_run=npair_run,
+              meshid=meshid,
+          ))
+
+    # --- plane : interp-flex vertices (mj_collidePlaneFlex analog,
+    # engine_collision_driver.c:405; interp flexes carry no vertex geoms
+    # so the vertex-sphere pairs live here, at runtime positions) ---
+    if (m.flex_interp_np is not None and m.flex_interp_np[f]
+        and (fct | fca)):
+      planes = np.nonzero(
+          (gtypes == int(GeomType.PLANE)) & (gflex < 0)
+          & (((contype & fca) | (fct & conaff)) != 0))[0]
+      if planes.size:
+        va, vn = int(m.flex_vertadr[f]), int(m.flex_vertnum[f])
+        verts = np.arange(va, va + vn, dtype=np.int32)
         groups.append(ElemGroup(
-            kind="geom_elem", flexid=f, gtype=t,
-            pair_geom=pair_geom, pair_elem=pair_elem, face=None,
-            condim=_mix_condim_flex(m, int(pair_geom[0]), f),
-            nslot=(4 if t == int(GeomType.BOX)
-                   else 2 if t == int(GeomType.CAPSULE) else 1),
-            npair_run=npair_run,
+            kind="plane_vert", flexid=f, gtype=int(GeomType.PLANE),
+            pair_geom=np.repeat(planes, vn).astype(np.int32),
+            pair_elem=np.tile(verts, len(planes)).astype(np.int32),
+            face=None,
+            condim=_mix_condim_flex(m, int(planes[0]), f),
+            nslot=1, npair_run=len(planes) * vn,
+        ))
+
+    # --- self-collision element pairs (mj_collideElems,
+    # engine_collision_driver.c:469; margin forced to 0 for f1==f2) ---
+    selfc = (m.flex_selfcollide_np is not None
+             and int(m.flex_selfcollide_np[f]) != 0)
+    if selfc and en > 1 and (fct & fca):
+      vb = vertbody[np.asarray(m.flex_elem)[elems, :dim + 1]]
+      se1, se2 = np.triu_indices(en, k=1)
+      # skip pairs with vertices on a shared body (ref :476-485) — this
+      # IS the adjacent-element exclusion for non-rigid flexes
+      share = (vb[se1][:, :, None] == vb[se2][:, None, :]).any(axis=(1, 2))
+      se1, se2 = se1[~share], se2[~share]
+      if se1.size:
+        npair_run = len(se1)
+        # runtime budget: every candidate pair is ranked by bounding
+        # distance each step and the nearest k narrowphased (the static
+        # analog of the reference's SAP/BVH midphase — all mjFLEXSELF
+        # modes are midphase variants of the same narrowphase)
+        budget = (m.max_geom_pairs if m.max_geom_pairs > 0
+                  else max(4 * en, 64))
+        npair_run = min(npair_run, budget)
+        groups.append(ElemGroup(
+            kind="selfpair", flexid=f, gtype=-1,
+            pair_geom=(se1 + ea).astype(np.int32),
+            pair_elem=(se2 + ea).astype(np.int32), face=None,
+            condim=int(m.flex_condim[f]), nslot=1, npair_run=npair_run,
         ))
 
     # --- internal contacts ---
@@ -195,7 +268,7 @@ def elem_pair_params(m: Model, grp: ElemGroup):
   npair = len(grp.pair_geom)
   dtype = m.geom_margin.dtype
 
-  if grp.kind != "geom_elem":
+  if grp.kind not in ("geom_elem", "plane_vert"):
     fri3 = jnp.broadcast_to(m.flex_friction[f], (npair, 3))
     friction5 = fri3[:, [0, 0, 1, 2, 2]]
     solref = jnp.broadcast_to(m.flex_solref[f], (npair, 2))
@@ -528,66 +601,156 @@ def _box_simplex(m, p, mat, size, verts, rt, dim, band):
   return dist, pos, nrm
 
 
+# support-function machinery shared with the geom-geom CCD narrowphase
+from mujoco_inversedynamicstest_tpu.ops.ccd import (  # noqa: E402
+    fix_normal_smooth,
+    geom_support_fn,
+    support_descent,
+)
+
+
 def _smooth_simplex_thin(m, p, mat, size, verts, rt, gtype):
-  """Smooth convex partner (cylinder/ellipsoid) vs dim-2 thin-shell
-  element, via the partner's analytic support function.
+  """Smooth convex partner (cylinder/ellipsoid) vs dim-2 rounded
+  triangle via support direction descent (``support_descent``).
 
-  Same empirically-validated rule as the box thin-shell path
-  (``_box_simplex`` dim 2): separation = support-function distance of
-  the partner behind the winning triangle face, two-sided depth
-  ``|sep| - rt``, normal = the winning face normal.  The witness is the
-  partner's support point along the face normal, kept only when its
-  plane projection lands inside this triangle (neighbors own the rest
-  of the surface).  Single slot.
-
-  Reference: ``mjc_ConvexElem`` (engine_collision_convex.c:1621) runs
-  these pairs through GJK/EPA on the exact quadric supports."""
+  The shell is the closed convex set ``triangle + B(rt)``; the descent
+  recovers exactly what the reference's GJK/EPA reports for these pairs
+  (``mjc_ConvexElem``, engine_collision_convex.c:1621): face contacts
+  when the partner rests on the sheet, *lateral* exits when the cloth
+  pockets around the partner (verified against C on the resting
+  cylinder: C's normals there are horizontal), and force-free tunneling
+  once the partner crosses the midplane by more than rt (the minimal
+  exit flips to the far surface).  Single slot; normal geom->element."""
+  supp = geom_support_fn(gtype, p, mat, size)
   n0 = math.normalize(jnp.cross(verts[1] - verts[0], verts[2] - verts[0]))
+  centroid = jnp.mean(verts, axis=0)
+  dc = math.normalize(centroid - p)
+  seeds = jnp.stack([
+      n0, -n0, dc,
+      math.normalize(dc + 0.5 * n0), math.normalize(dc - 0.5 * n0),
+  ])
 
-  if gtype == int(GeomType.CYLINDER):
-    a = mat[:, 2]
-    r, hl = size[0], size[1]
+  def supp_tri(u):
+    # mul+sum, not @: vmapped dots hit the MXU at bf16 (see ops/ccd._dot)
+    return verts[jnp.argmax(jnp.sum(verts * u, axis=-1))]
 
-    def supp(u):
-      """Support point of the cylinder along world direction u."""
-      ca = jnp.dot(u, a)
-      perp = u - ca * a
-      lp = jnp.linalg.norm(perp)
-      rad = jnp.where(lp > 1e-9, r * perp / jnp.maximum(lp, math.MINVAL),
-                      jnp.zeros_like(perp))
-      return p + jnp.sign(ca) * hl * a + rad
-  else:  # ELLIPSOID
+  dist, nrm, wa = support_descent(supp, supp_tri, seeds, pad=rt)
+  q = _closest_pt_tri(wa, verts[0], verts[1], verts[2])
+  pos = 0.5 * (wa + q - rt * nrm)
+  # snap to the partner's analytic surface normal at pos (mjc_fixNormal)
+  nrm = fix_normal_smooth(gtype, p, mat, size, pos, nrm)
+  return dist, pos, nrm
 
-    def supp(u):
-      ul = mat.T @ u
-      w = size * ul
-      lw = jnp.maximum(jnp.linalg.norm(w), math.MINVAL)
-      return p + mat @ (size * w / lw)
 
-  def sep_along(o):
-    # min over partner surface of o.x, minus the plane offset
-    return jnp.dot(o, supp(-o)) - jnp.dot(o, verts[0])
+def _closest_pt_simplex(x, verts, dim: int):
+  """Closest point on a 1/2/3-simplex (segment/triangle/tet surface)."""
+  if dim == 1:
+    a, b = verts[0], verts[1]
+    ab = b - a
+    t = jnp.clip(jnp.sum((x - a) * ab)
+                 / jnp.maximum(jnp.sum(ab * ab), math.MINVAL), 0.0, 1.0)
+    return a + t * ab
+  if dim == 2:
+    return _closest_pt_tri(x, verts[0], verts[1], verts[2])
+  cands = [
+      _closest_pt_tri(x, verts[f[0]], verts[f[1]], verts[f[2]])
+      for f in _TET_FACES
+  ]
+  xs = jnp.stack(cands)
+  return xs[jnp.argmin(jnp.linalg.norm(xs - x[None], axis=1))]
 
-  sep_up = sep_along(n0)
-  sep_dn = sep_along(-n0)
-  o = jnp.where(sep_up >= sep_dn, 1.0, -1.0) * n0
-  s = jnp.maximum(sep_up, sep_dn)
 
-  ps = supp(-o)                           # deepest partner point
-  proj = ps - o * jnp.dot(o, ps - verts[0])
-  # inside-triangle test (edge cross products against the face normal)
-  inside = jnp.asarray(True)
-  for i in range(3):
-    e = verts[(i + 1) % 3] - verts[i]
-    inside = inside & (
-        jnp.dot(jnp.cross(e, proj - verts[i]), n0)
-        * jnp.dot(jnp.cross(e, verts[(i + 2) % 3] - verts[i]), n0) >= 0)
+def _mesh_simplex(m, p, mat, vlocal, verts, rt, dim):
+  """Mesh hull vs rounded flex element via support direction descent.
 
-  dist = jnp.where(inside, jnp.abs(s) - rt, _BIG)
-  pos = proj + o * (s * 0.5)
-  # normal: push the partner back to the winning (bulk) side of the
-  # midplane; geom1 -> geom2 convention (cf. _box_simplex dim 2)
-  return dist, pos, -o
+  The reference collides mesh geoms against elements through CCD
+  (``mj_collideGeomElem`` -> ``mjc_ConvexElem``,
+  engine_collision_driver.c:412); here the mesh's convex-hull support
+  (one masked matvec over its padded vertex cloud) pairs with the
+  element-simplex support in ``ccd.support_descent``.  Closes the last
+  rigid-partner vertex-sphere fallback.  Single slot; normal
+  geom -> element (native-CCD witness convention)."""
+  from mujoco_inversedynamicstest_tpu.ops import ccd
+
+  wv = p + jnp.einsum('vj,ij->vi', vlocal, mat,
+                      precision=jax.lax.Precision.HIGHEST)
+  supp_m = ccd.hull_support_fn(wv)
+
+  def supp_e(u):
+    return verts[jnp.argmax(jnp.sum(verts * u, axis=-1))]
+
+  centroid = jnp.mean(verts, axis=0)
+  dc = math.normalize(centroid - p)
+  seeds = [dc]
+  if dim == 2:
+    n0 = math.normalize(jnp.cross(verts[1] - verts[0],
+                                  verts[2] - verts[0]))
+    seeds += [n0, -n0, math.normalize(dc + 0.5 * n0),
+              math.normalize(dc - 0.5 * n0)]
+  elif dim == 3:
+    for face in _TET_FACES:
+      nf = math.normalize(jnp.cross(verts[face[1]] - verts[face[0]],
+                                    verts[face[2]] - verts[face[0]]))
+      s = jnp.sign(jnp.sum(nf * (verts[face[0]] - centroid)))
+      # inward (partner -> element) face normal seed
+      seeds.append(-nf * jnp.where(s == 0, 1.0, s))
+  else:
+    a = math.normalize(verts[1] - verts[0])
+    perp = dc - jnp.sum(dc * a) * a
+    pn = jnp.linalg.norm(perp)
+    seeds.append(jnp.where(pn > 1e-9,
+                           perp / jnp.maximum(pn, math.MINVAL), dc))
+
+  dist, u, wa = ccd.support_descent(supp_m, supp_e, jnp.stack(seeds),
+                                    pad=rt)
+  q = _closest_pt_simplex(wa, verts, dim)
+  pos = 0.5 * (wa + q - rt * u)
+  return dist, pos, u
+
+
+def _elem_elem(v1, v2, rt, dim):
+  """Rounded element vs rounded element of the same flex (self-collision
+  narrowphase; ref ``mj_collideElems`` -> ``mjraw_CapsuleCapsule`` for
+  cables, ``mjc_ConvexElem`` CCD otherwise).  Single slot; normal
+  elem1 -> elem2."""
+  from mujoco_inversedynamicstest_tpu.ops import ccd
+  from mujoco_inversedynamicstest_tpu.ops import collision_convex as cc
+
+  if dim == 1:
+    c1, c2 = cc._closest_seg_seg(v1[0], v1[1] - v1[0], v2[0], v2[1] - v2[0])
+    delta = c2 - c1
+    lu = jnp.maximum(jnp.linalg.norm(delta), math.MINVAL)
+    u = delta / lu
+    return lu - 2.0 * rt, 0.5 * (c1 + c2), u
+
+  def supp1(u):
+    return v1[jnp.argmax(jnp.sum(v1 * u, axis=-1))]
+
+  def supp2(u):
+    return v2[jnp.argmax(jnp.sum(v2 * u, axis=-1))]
+
+  c1 = jnp.mean(v1, axis=0)
+  c2 = jnp.mean(v2, axis=0)
+  dc = math.normalize(c2 - c1)
+  seeds = [dc]
+  if dim == 2:
+    ssign = lambda x: jnp.where(x >= 0, 1.0, -1.0)  # never 0 (valid seed)
+    n1 = math.normalize(jnp.cross(v1[1] - v1[0], v1[2] - v1[0]))
+    n2 = math.normalize(jnp.cross(v2[1] - v2[0], v2[2] - v2[0]))
+    seeds += [n1 * ssign(jnp.sum(n1 * dc)),
+              n2 * ssign(jnp.sum(n2 * dc)),
+              -n1 * ssign(jnp.sum(n1 * dc))]
+  else:
+    for face in _TET_FACES:
+      nf = math.normalize(jnp.cross(v1[face[1]] - v1[face[0]],
+                                    v1[face[2]] - v1[face[0]]))
+      s = jnp.sign(jnp.sum(nf * (v1[face[0]] - c1)))
+      seeds.append(nf * jnp.where(s == 0, 1.0, s))
+  dist, u, wa = ccd.support_descent(supp1, supp2, jnp.stack(seeds),
+                                    pad=2.0 * rt)
+  q = _closest_pt_simplex(wa, v2, dim)
+  pos = 0.5 * (wa + q)
+  return dist, pos, u
 
 
 def _bary_weights(pos, verts, nvert: int, exclude_local: int = -1):
@@ -619,6 +782,37 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
   dim = int(m.flex_dim[f])
   dtype = d.qpos.dtype
   radius = m.flex_radius[f]
+
+  if grp.kind == "plane_vert":
+    # plane vs interp-flex vertex spheres at runtime positions
+    g = grp.pair_geom                                   # plane geom ids
+    v = grp.pair_elem                                   # global vert ids
+    n = len(g)
+    n0 = d.geom_xmat[g][:, :, 2]
+    p0 = d.geom_xpos[g]
+    vx = d.flexvert_xpos[v]
+    dist = jnp.einsum("pc,pc->p", vx - p0, n0) - radius
+    pos = vx - n0 * (radius + dist[:, None] * 0.5)
+    nrm = n0                                            # plane -> flex
+
+    bw_pv = bary_width(m)
+    na, nn = int(m.flex_nodeadr_np[f]), int(m.flex_nodenum_np[f])
+    w_tbl = np.asarray(m.flex_interp_w[f])
+    va = int(m.flex_vertadr[f])
+    node_w = jnp.asarray(w_tbl[v - va], dtype)          # (n, nn) static
+    node_bodies = np.asarray(m.flex_nodebodyid_np[na:na + nn], np.int32)
+    bary_body = jnp.zeros((n, 2, bw_pv), jnp.int32)
+    bary_w = jnp.zeros((n, 2, bw_pv), dtype)
+    bary_body = bary_body.at[:, 0, 0].set(
+        jnp.asarray(np.asarray(m.geom_bodyid)[g], jnp.int32))
+    bary_w = bary_w.at[:, 0, 0].set(1.0)
+    bary_body = bary_body.at[:, 1, :nn].set(
+        jnp.broadcast_to(jnp.asarray(node_bodies), (n, nn)))
+    bary_w = bary_w.at[:, 1, :nn].set(node_w)
+    return (dist, pos, nrm, jnp.asarray(g, jnp.int32),
+            jnp.full(n, -1, jnp.int32), bary_body, bary_w,
+            jnp.arange(n))
+
   elem_verts_np = np.asarray(m.flex_elem)[grp.pair_elem, :dim + 1]
   vertbody = np.asarray(m.flex_vertbodyid)
   vgeom_base = _flexgeom_base(m)
@@ -626,6 +820,7 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
   pair_geom = grp.pair_geom
   pair_elem_verts = elem_verts_np
   npair_run = grp.npair_run
+  bw_ = bary_width(m)
 
   if grp.kind == "geom_elem":
     gpos_all = d.geom_xpos[pair_geom]
@@ -666,6 +861,12 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
           m, gp, gm, gs, ev, radius, grp.gtype)
       dist, pos, nrm = jax.vmap(fn)(gpos, gmat, gsize, everts)
       nslot = 1
+    elif grp.gtype == int(GeomType.MESH):
+      vlocal = jnp.asarray(m.mesh_hull[grp.meshid].vert, dtype)
+      fn = lambda gp, gm, gs, ev: _mesh_simplex(
+          m, gp, gm, vlocal, ev, radius, dim)
+      dist, pos, nrm = jax.vmap(fn)(gpos, gmat, gsize, everts)
+      nslot = 1
     else:  # CAPSULE: 2 slots per pair (see _capsule_simplex)
       fn = lambda gp, gm, gs, ev: _capsule_simplex(
           m, gp, gm[:, 2], gs[1], gs[0], ev, radius, dim)
@@ -697,17 +898,74 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
     bw_elem = jax.vmap(
         lambda p_, ev: _bary_weights(p_, ev, dim + 1))(pos, everts_s)
     nb = dim + 1
-    bary_body = jnp.zeros((ntot, 2, 4), jnp.int32)
-    bary_w = jnp.zeros((ntot, 2, 4), dtype)
+    bary_body = jnp.zeros((ntot, 2, bw_), jnp.int32)
+    bary_w = jnp.zeros((ntot, 2, bw_), dtype)
     bary_body = bary_body.at[:, 0, 0].set(
         jnp.asarray(m.geom_bodyid)[g_s])
     bary_w = bary_w.at[:, 0, 0].set(1.0)
-    bary_body = bary_body.at[:, 1, :nb].set(
-        jnp.asarray(vertbody)[ev_ids_s])
-    bary_w = bary_w.at[:, 1, :nb].set(bw_elem)
+    interp = bool(m.flex_interp_np is not None and m.flex_interp_np[f])
+    if interp:
+      # trilinear: element-vertex weights chain through the static
+      # interpolation matrix onto the 8 node bodies (mj_vertBodyWeight,
+      # engine_core_constraint.c:1061)
+      na, nn = int(m.flex_nodeadr_np[f]), int(m.flex_nodenum_np[f])
+      w_tbl = jnp.asarray(m.flex_interp_w[f], dtype)   # (nv_f, nn)
+      va = int(m.flex_vertadr[f])
+      w_rows = w_tbl[ev_ids_s - va]                    # (ntot, nb, nn)
+      node_w = jnp.einsum("tv,tvn->tn", bw_elem, w_rows)
+      node_bodies = jnp.asarray(
+          m.flex_nodebodyid_np[na:na + nn], jnp.int32)
+      bary_body = bary_body.at[:, 1, :nn].set(
+          jnp.broadcast_to(node_bodies, (ntot, nn)))
+      bary_w = bary_w.at[:, 1, :nn].set(node_w)
+      geom2 = jnp.full(ntot, -1, jnp.int32)            # no vertex geoms
+    else:
+      bary_body = bary_body.at[:, 1, :nb].set(
+          jnp.asarray(vertbody)[ev_ids_s])
+      bary_w = bary_w.at[:, 1, :nb].set(bw_elem)
+      geom2 = (vgeom_base + ev_ids_s[:, 0]).astype(jnp.int32)
 
     geom1 = g_s.astype(jnp.int32)
-    geom2 = (vgeom_base + ev_ids_s[:, 0]).astype(jnp.int32)
+    return dist, pos, nrm, geom1, geom2, bary_body, bary_w, sel
+
+  if grp.kind == "selfpair":
+    # element-element self-collision: pair_geom/pair_elem are both
+    # global element ids
+    ev1_np = np.asarray(m.flex_elem)[grp.pair_geom, :dim + 1]
+    ev2_np = pair_elem_verts
+    v1_all = d.flexvert_xpos[ev1_np]                   # (np, dim+1, 3)
+    v2_all = d.flexvert_xpos[ev2_np]
+    if npair_run < len(grp.pair_geom):
+      c1 = jnp.mean(v1_all, axis=1)
+      c2 = jnp.mean(v2_all, axis=1)
+      r1 = jnp.max(jnp.linalg.norm(v1_all - c1[:, None], axis=2), axis=1)
+      r2 = jnp.max(jnp.linalg.norm(v2_all - c2[:, None], axis=2), axis=1)
+      bdist = jnp.linalg.norm(c1 - c2, axis=1) - r1 - r2 - 2.0 * radius
+      _, sel = jax.lax.top_k(-bdist, npair_run)
+    else:
+      sel = jnp.arange(len(grp.pair_geom))
+    v1 = v1_all[sel]
+    v2 = v2_all[sel]
+    ev1 = jnp.asarray(ev1_np)[sel]
+    ev2 = jnp.asarray(ev2_np)[sel]
+
+    fn = lambda a, b: _elem_elem(a, b, radius, dim)
+    dist, pos, nrm = jax.vmap(fn)(v1, v2)
+
+    nb = dim + 1
+    bw1 = jax.vmap(lambda p_, vv: _bary_weights(p_, vv, nb))(pos, v1)
+    bw2 = jax.vmap(lambda p_, vv: _bary_weights(p_, vv, nb))(pos, v2)
+    n = npair_run
+    bary_body = jnp.zeros((n, 2, bw_), jnp.int32)
+    bary_w = jnp.zeros((n, 2, bw_), dtype)
+    vb = jnp.asarray(vertbody)
+    bary_body = bary_body.at[:, 0, :nb].set(vb[ev1])
+    bary_w = bary_w.at[:, 0, :nb].set(bw1)
+    bary_body = bary_body.at[:, 1, :nb].set(vb[ev2])
+    bary_w = bary_w.at[:, 1, :nb].set(bw2)
+
+    geom1 = (vgeom_base + ev1[:, 0]).astype(jnp.int32)
+    geom2 = (vgeom_base + ev2[:, 0]).astype(jnp.int32)
     return dist, pos, nrm, geom1, geom2, bary_body, bary_w, sel
 
   if grp.kind == "evpair":
@@ -731,8 +989,8 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
       return jnp.stack(ws)[exc + 1]
 
     bw_elem = jax.vmap(weights)(pos, everts, jnp.asarray(excl))
-    bary_body = jnp.zeros((len(vglob), 2, 4), jnp.int32)
-    bary_w = jnp.zeros((len(vglob), 2, 4), dtype)
+    bary_body = jnp.zeros((len(vglob), 2, bw_), jnp.int32)
+    bary_w = jnp.zeros((len(vglob), 2, bw_), dtype)
     bary_body = bary_body.at[:, 0, 0].set(jnp.asarray(vertbody)[vglob])
     bary_w = bary_w.at[:, 0, 0].set(1.0)
     # element bodies with excluded slot's body compacted out (static)
@@ -773,8 +1031,8 @@ def run_elem_group(m: Model, d: Data, grp: ElemGroup):
 
   bw_face = jax.vmap(lambda p_, tv: _bary_weights(p_, tv, 3))(pos, t)
   n = len(vglob)
-  bary_body = jnp.zeros((n, 2, 4), jnp.int32)
-  bary_w = jnp.zeros((n, 2, 4), dtype)
+  bary_body = jnp.zeros((n, 2, bw_), jnp.int32)
+  bary_w = jnp.zeros((n, 2, bw_), dtype)
   bary_body = bary_body.at[:, 0, :3].set(jnp.asarray(vertbody)[face_verts])
   bary_w = bary_w.at[:, 0, :3].set(bw_face)
   bary_body = bary_body.at[:, 1, 0].set(jnp.asarray(vertbody)[vglob])

@@ -292,6 +292,83 @@ def flex_elasticity(m: Model, d: Data) -> jax.Array:
   return jnp.einsum("vnj,vj->n", jacp, fvert)
 
 
+def _mat2rot(mat, dtype, iters: int = 80):
+  """Rotational part of a deformation gradient (``mju_mat2Rot``,
+  reference ``engine_util_spatial.c:291``; Mueller et al. 2016) — fixed
+  trip count, converged updates become no-ops."""
+  cols_m = mat.T                                  # (3, 3): columns of mat
+
+  def body(quat, _):
+    rot = math.quat_to_mat(quat)
+    cols_r = rot.T
+    omega = jnp.sum(jnp.cross(cols_r, cols_m), axis=0)
+    denom = jnp.abs(jnp.sum(cols_r * cols_m)) + math.MINVAL
+    omega = omega / denom
+    w = jnp.linalg.norm(omega)
+    axis = omega / jnp.maximum(w, math.MINVAL)
+    qrot = math.axis_angle_quat(axis, w)
+    qn = math.normalize_quat(math.quat_mul(qrot, quat))
+    return jnp.where(w < 1e-12, quat, qn), None
+
+  q0 = jnp.array([1.0, 0, 0, 0], dtype)
+  quat, _ = jax.lax.scan(body, q0, None, length=iters)
+  return quat
+
+
+def flex_nodal_elasticity(m: Model, d: Data):
+  """Stretch-frame nodal elasticity of trilinear flexes.
+
+  Analog of the interp branch of ``mj_passive`` (reference
+  ``engine_passive.c:125-205``): node positions are re-centered, the
+  rotation is fit from the trilinear deformation gradient at the cell
+  center (``mju_defGradient`` + ``mju_mat2Rot``), displacements and
+  velocities rotate into the stretch frame, forces come from one
+  ``(3N, 3N)`` matvec with the precomputed nodal stiffness (negative
+  definite; rigid modes in its null space), and rotate back.  Returns
+  ``(qfrc_spring, qfrc_damper)`` contributions (centered nodes: direct
+  dof accumulation, ref :194-196)."""
+  dtype = d.qpos.dtype
+  qfrc_s = jnp.zeros(m.nv, dtype)
+  qfrc_d = jnp.zeros(m.nv, dtype)
+  for f in range(m.nflex):
+    if not m.flex_interp_np[f]:
+      continue
+    K = m.flex_stiffness_nodal[f]
+    if K.size == 0:
+      continue
+    na, nn = int(m.flex_nodeadr_np[f]), int(m.flex_nodenum_np[f])
+    bodies = m.flex_nodebodyid_np[na:na + nn]
+    dof_idx = (np.asarray(m.body_dofadr)[bodies][:, None]
+               + np.arange(3)[None, :])          # (nn, 3) static
+    xpos = d.xpos[bodies]                        # centered nodes
+    vel = d.qvel[dof_idx.reshape(-1)].reshape(nn, 3)
+    com = jnp.mean(xpos, axis=0)
+    xc = xpos - com
+
+    # deformation gradient at p = (.5,.5,.5) (mju_defGradient, order 1):
+    # the gradient of node idx is 0.25 * (+-1 per axis by the idx bits)
+    j = np.arange(nn)
+    sgn = np.stack([np.where(j & 4, 1.0, -1.0),
+                    np.where(j & 2, 1.0, -1.0),
+                    np.where(j & 1, 1.0, -1.0)], axis=1) * 0.25
+    g = jnp.asarray(sgn, dtype)                  # (nn, 3)
+    F = xc.T @ g                                 # (3, 3) rows=xyz of dofs
+
+    quat = _mat2rot(F, dtype)
+    qinv = math.quat_conj(quat)
+    half = jnp.asarray([0.5, 0.5, 0.5], dtype)
+    x_r = jax.vmap(lambda v: math.rotate(v, qinv))(xc) + half
+    v_r = jax.vmap(lambda v: math.rotate(v, qinv))(vel)
+    displ = (x_r - m.flex_node0[na:na + nn]).reshape(-1)
+    frc = (K @ displ).reshape(nn, 3)
+    dmp = (K @ v_r.reshape(-1)).reshape(nn, 3) * m.flex_damping[f]
+    frc_w = jax.vmap(lambda v: math.rotate(v, quat))(frc)
+    dmp_w = jax.vmap(lambda v: math.rotate(v, quat))(dmp)
+    qfrc_s = qfrc_s.at[dof_idx.reshape(-1)].add(frc_w.reshape(-1))
+    qfrc_d = qfrc_d.at[dof_idx.reshape(-1)].add(dmp_w.reshape(-1))
+  return qfrc_s, qfrc_d
+
+
 def flex_edge_springdamper(m: Model, d: Data):
   """Edge-level spring-damper forces (ref ``engine_passive.c:298-336``).
 
@@ -356,6 +433,12 @@ def passive(m: Model, d: Data) -> Data:
   if m.nflex:
     if m.has_flex_elasticity and not (flags & DisableBit.SPRING):
       qfrc_spring = qfrc_spring + flex_elasticity(m, d)
+    if m.has_flex_nodal_elasticity:
+      fs, fd = flex_nodal_elasticity(m, d)
+      if not (flags & DisableBit.SPRING):
+        qfrc_spring = qfrc_spring + fs
+      if not (flags & DisableBit.DAMPER):
+        qfrc_damper = qfrc_damper + fd
     if m.has_flex_edge_sd:
       fs, fd = flex_edge_springdamper(m, d)
       if not (flags & DisableBit.SPRING):

@@ -266,16 +266,33 @@ def flex(m: Model, d: Data) -> Data:
   vb = m.flex_vertbodyid
   centered = jnp.asarray(m.flex_centered[m.flex_vertflexid])[:, None]
   local = jnp.where(centered, jnp.zeros_like(m.flex_vert), m.flex_vert)
-  xpos = d.xpos[vb] + jnp.einsum("vij,vj->vi", d.xmat[vb], local)
+  xpos = d.xpos[jnp.maximum(vb, 0)] + jnp.einsum(
+      "vij,vj->vi", d.xmat[jnp.maximum(vb, 0)], local)
+
+  # trilinear interpolation (ref mj_flex engine_core_smooth.c:494):
+  # vertices of interp flexes are static-weight combinations of their 8
+  # node-body positions — one small matmul per flex
+  if m.flex_interp_np is not None and np.any(m.flex_interp_np):
+    for f in range(m.nflex):
+      if not m.flex_interp_np[f]:
+        continue
+      na, nn = int(m.flex_nodeadr_np[f]), int(m.flex_nodenum_np[f])
+      nodes = d.xpos[m.flex_nodebodyid_np[na:na + nn]]     # (nn, 3)
+      w = jnp.asarray(m.flex_interp_w[f], xpos.dtype)      # (nv_f, nn)
+      va, vn = int(m.flex_vertadr[f]), int(m.flex_vertnum[f])
+      xpos = xpos.at[va:va + vn].set(w @ nodes)
 
   v1, v2 = m.flex_edge[:, 0], m.flex_edge[:, 1]
   vec = xpos[v2] - xpos[v1]
   length = math.norm_safe(vec, axis=1)
   d = d.replace(flexvert_xpos=xpos, flexedge_length=length)
 
-  # skip the Jacobian when no edge can generate forces (ref :583-586)
+  # skip the Jacobian when no edge can generate forces (ref :583-586);
+  # interp flexes never carry edge forces (ref :577: rigid||interp skip)
+  not_interp = (np.ones(m.nflex, bool) if m.flex_interp_np is None
+                else (m.flex_interp_np == 0))
   needs_j = bool(
-      np.any(m.flex_edgeequality & ~m.flex_rigid)
+      np.any(m.flex_edgeequality & ~m.flex_rigid & not_interp)
   ) or m.has_flex_edge_sd or m.has_flex_elasticity
   if not needs_j:
     return d

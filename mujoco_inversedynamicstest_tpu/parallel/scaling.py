@@ -79,18 +79,29 @@ def mpc_weak_scaling(
     m: Model, cost, d0: Data, cfg: northstar.NorthStarConfig,
     fleet_per_device: int = 2,
     device_counts: Optional[Sequence[int]] = None,
+    time_budget_s: Optional[float] = None,
 ) -> WeakScalingResult:
   """Measures MPC solves/s with the fleet sharded over 1..N devices.
 
   Weak scaling: the per-device fleet is constant, total fleet grows with
   the device count.  Efficiency = throughput(N) / (N * throughput(1)).
+
+  ``time_budget_s`` bounds the sweep: device counts are visited in the
+  order given and the sweep stops (keeping completed points) once the
+  budget is spent — pass the most important counts first (the driver
+  dryrun passes descending counts so the full-mesh point, a persistent-
+  cache hit of its own gate program, always lands).
   """
   all_devices = jax.devices()
   if device_counts is None:
     device_counts = [n for n in (1, 2, 4, 8) if n <= len(all_devices)]
 
+  sweep_t0 = time.perf_counter()
   points = []
   for n in device_counts:
+    if (time_budget_s is not None and points
+        and time.perf_counter() - sweep_t0 > time_budget_s):
+      break
     mesh = sharding.make_mesh(all_devices[:n])
     fleet_cfg = cfg._replace(fleet=fleet_per_device * n)
     fleet = northstar.make_fleet(m, d0, fleet_cfg)
@@ -116,9 +127,13 @@ def mpc_weak_scaling(
         plan_cost_mean=float(gmean),
     ))
 
+  points.sort(key=lambda p: p.n_devices)
   base = points[0]
   last = points[-1]
-  eff = last.solves_per_sec / (
-      last.n_devices / base.n_devices * base.solves_per_sec
-  )
+  if last.n_devices == base.n_devices:
+    eff = float("nan")                 # budget left a single point
+  else:
+    eff = last.solves_per_sec / (
+        last.n_devices / base.n_devices * base.solves_per_sec
+    )
   return WeakScalingResult(points=tuple(points), efficiency=float(eff))

@@ -23,5 +23,6 @@ from mujoco_inversedynamicstest_tpu.plugins.registry import (
 from mujoco_inversedynamicstest_tpu.plugins import cable  # registers itself
 from mujoco_inversedynamicstest_tpu.plugins import pid  # registers itself
 from mujoco_inversedynamicstest_tpu.plugins import sdf  # registers itself
+from mujoco_inversedynamicstest_tpu.plugins import sdflib  # registers itself
 from mujoco_inversedynamicstest_tpu.plugins import shell  # registers itself
 from mujoco_inversedynamicstest_tpu.plugins import touch_grid  # registers itself

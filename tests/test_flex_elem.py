@@ -211,6 +211,67 @@ def test_small_box_does_not_tunnel_triangle_interior():
   assert z > -0.05, f"box tunneled through the sheet (z={z})"
 
 
+_MESH_ASSET = """
+    <asset>
+      <mesh name="octa" vertex="0.02 0 0  -0.02 0 0  0 0.015 0
+                                0 -0.015 0  0 0 0.012  0 0 -0.012"/>
+    </asset>
+"""
+
+
+def test_mesh_on_sheet_settles_like_c():
+  """A convex mesh (octahedron) dropped on the sheet interior rests at
+  the C engine's height — element-level support-descent narrowphase
+  (ref ``mj_collideGeomElem`` -> ``mjc_ConvexElem``), closing the last
+  rigid-partner vertex-sphere fallback."""
+  extra = """
+      <body pos="0.04 0.02 0.06">
+        <freejoint/>
+        <geom type="mesh" mesh="octa" mass="0.04"/>
+      </body>
+  """
+  xml = _sheet_xml(extra=extra, internal="false").replace(
+      "<worldbody>", _MESH_ASSET + "<worldbody>")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(600):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  assert mjd.ncon > 0
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  adr = mjm.jnt_qposadr[free_j]
+  z_ours = float(np.asarray(d.qpos)[adr + 2])
+  z_c = float(mjd.qpos[adr + 2])
+  assert abs(z_ours - z_c) < 5e-3, (z_ours, z_c)
+
+
+def test_small_mesh_does_not_tunnel_triangle_interior():
+  """Regression for the vertex-sphere gap, mesh edition."""
+  extra = """
+      <body pos="0.04 0.04 0.05">
+        <freejoint/>
+        <geom type="mesh" mesh="octa" mass="0.01"/>
+      </body>
+  """
+  xml = _sheet_xml(extra=extra, internal="false").replace(
+      "<worldbody>", _MESH_ASSET + "<worldbody>")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(400):
+    d = step(d)
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  z = float(np.asarray(d.qpos)[mjm.jnt_qposadr[free_j] + 2])
+  assert z > -0.05, f"mesh tunneled through the sheet (z={z})"
+
+
 def _tet_xml(extra=""):
   return f"""
   <mujoco>
@@ -299,6 +360,29 @@ def test_box_on_tet_cube_settles_finite():
       np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
   z = float(np.asarray(d.qpos)[mjm.jnt_qposadr[free_j] + 2])
   assert z > 0.05, f"box fell through the tet cube (z={z})"
+
+
+def test_mesh_on_tet_cube_settles_finite():
+  """A convex mesh dropped on a dim-3 flex cube rests on top (support
+  descent vs rounded tets; no tunneling through the lattice)."""
+  extra = """
+      <body pos="0.02 0.01 0.35">
+        <freejoint/>
+        <geom type="mesh" mesh="octa" mass="0.05"/>
+      </body>
+  """
+  xml = _tet_xml(extra).replace("<worldbody>", _MESH_ASSET + "<worldbody>")
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mi.put_model(mjm, dtype=jnp.float64)
+  d = mi.make_data(m)
+  step = jax.jit(lambda dd: mi.step(m, dd))
+  for _ in range(250):
+    d = step(d)
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  free_j = int(np.nonzero(
+      np.asarray(mjm.jnt_type) == int(mujoco.mjtJoint.mjJNT_FREE))[0][0])
+  z = float(np.asarray(d.qpos)[mjm.jnt_qposadr[free_j] + 2])
+  assert z > 0.05, f"mesh fell through the tet cube (z={z})"
 
 
 def test_dim3_internal_loads_and_runs():
