@@ -237,8 +237,16 @@ def measure_humanoid100(mi):
   m = mi.put_model(mjm, dtype=jnp.float32)
   blocked = rate(m)
   dense = rate(m.replace(force_dense_ltdl=True))
-  return {"blocked_ltdl": round(blocked, 1), "dense_ltdl": round(dense, 1),
-          "speedup": round(blocked / dense, 3)}
+  out = {"blocked_ltdl": round(blocked, 1), "dense_ltdl": round(dense, 1),
+         "speedup": round(blocked / dense, 3)}
+  # where the time goes (VERDICT r4: collision was 89% of the h100 step
+  # before the support-descent narrowphase; record the new split)
+  try:
+    out["stage_time_fractions"] = measure_stage_breakdown(
+        mi, m, mi.make_data(m), batch=16, reps=10)
+  except Exception as e:
+    out["stage_time_error"] = repr(e)[:120]
+  return out
 
 
 def measure_cpu_reference_solve_rate(mjm, horizon, iters, n_alpha):
@@ -289,6 +297,63 @@ def measure_north_star(mi, m, d0):
   )
   res = northstar.measure_solves_per_sec(m, cost, d0, cfg)
   return cfg, res
+
+
+def measure_single_solve_mpc(mi, m, d0):
+  """fleet=1 MPC solve latency — the deployability number.
+
+  The fleet metric reports *throughput* (latency hidden by 512-wide
+  batching); this times ONE warm solve of the same H=100 iLQR program
+  (VERDICT r4: "a 0.5 s horizon replanned after a 60 s solve is not
+  MPC in any deployable sense").  ``lin_batch=None`` vmaps all
+  timesteps' linearizations at once — at fleet=1 memory allows it and
+  it is the latency-optimal configuration."""
+  from mujoco_inversedynamicstest_tpu.opt import northstar
+
+  cost = northstar.balance_cost(m)
+  cfg = northstar.NorthStarConfig(
+      horizon=NS_HORIZON, fleet=1, n_replan=1, ilqr_iterations=NS_ITERS,
+      n_alpha=NS_ALPHA, lin_batch=None, qpos_noise=0.01, qvel_noise=0.01)
+  res = northstar.measure_solves_per_sec(m, cost, d0, cfg)
+  return {
+      "mpc_single_solve_latency_s": round(res.solve_latency_s, 3),
+      "mpc_single_solve_compile_s": round(res.compile_time_s, 2),
+      "mpc_single_plan_cost": round(res.plan_cost_mean, 3),
+  }
+
+
+HAMMOCK_PATH = "/root/reference/model/hammock/hammock.xml"
+
+
+def measure_hammock_mpc(mi):
+  """BASELINE config-5 substrate: flex/hammock contact MPC (reduced
+  fleet, one chip).  Humanoid (nv=27 of 312 total dofs) falling into a
+  99-vertex pinned cloth; every rollout step runs the flex element
+  narrowphase + edge equality rows.  Reports solves/s + finite-lane
+  fraction (the ladder's 16k-scenario multi-host config scales this
+  same program over the mesh batch axis)."""
+  import mujoco
+
+  if not os.path.exists(HAMMOCK_PATH):
+    return None
+  from mujoco_inversedynamicstest_tpu.opt import northstar
+
+  mjm = mujoco.MjModel.from_xml_path(HAMMOCK_PATH)
+  m = mi.put_model(mjm, dtype=jnp.float32)
+  d0 = mi.make_data(m)
+  cost = northstar.balance_cost(m)
+  cfg = northstar.NorthStarConfig(
+      horizon=25, fleet=8, n_replan=1, ilqr_iterations=1, n_alpha=4,
+      lin_batch=1, qpos_noise=0.005, qvel_noise=0.005)
+  res = northstar.measure_solves_per_sec(m, cost, d0, cfg)
+  return {
+      "hammock_mpc_solves_per_sec": round(res.solves_per_sec, 3),
+      "hammock_finite_lane_fraction": round(res.finite_lane_fraction, 4),
+      "hammock_mpc_compile_s": round(res.compile_time_s, 2),
+      "hammock_fleet": cfg.fleet,
+      "hammock_horizon": cfg.horizon,
+      "hammock_nv": int(m.nv),
+  }
 
 
 def measure_torque_parity(mjm, us_f32):
@@ -362,6 +427,18 @@ def main():
   extra["finite_lane_fraction"] = round(res.finite_lane_fraction, 4)
   extra["mpc_mean_iterations"] = round(res.mean_iterations, 3)
   extra["mpc_solve_latency_s"] = round(res.solve_latency_s, 3)
+
+  try:
+    extra.update(measure_single_solve_mpc(mi, m, d0))
+  except Exception as e:
+    extra["mpc_single_solve_error"] = repr(e)[:120]
+
+  try:
+    ham = measure_hammock_mpc(mi)
+    if ham is not None:
+      extra.update(ham)
+  except Exception as e:
+    extra["hammock_mpc_error"] = repr(e)[:120]
 
   try:
     err = measure_torque_parity(mjm, res.run.us[0])
