@@ -82,6 +82,19 @@ def test_sdflib_model_loads():
   assert np.isfinite(np.asarray(d.qpos)).all()
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/model/plugin/sdf/cow.xml"),
+    reason="reference model tree not mounted")
+def test_reference_cow_model_loads():
+  """The reference's own sdflib example (spot.obj mesh + torus SDF,
+  plugin/sdf/cow.xml) loads through the bridge — OBJ pre-scan, stub
+  compile, voxel SDF — and simulates finite."""
+  m = mi.load_model("/root/reference/model/plugin/sdf/cow.xml")
+  d = jax.jit(lambda dd: mi.step(m, dd))(mi.make_data(m))
+  assert np.isfinite(np.asarray(d.qpos)).all()
+
+
 def test_sphere_rests_on_sdflib_cube():
   """A sphere dropped on the mesh-SDF cube rests at the analytic height
   (cube top 0.1 + sphere radius 0.05, within a voxel)."""
